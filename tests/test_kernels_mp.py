@@ -1,0 +1,146 @@
+"""Golden + equivalence tests for the matrix-profile kernels.
+
+Mirrors the reference's strongest invariants:
+* golden-snapshot parity per algorithm (w=150, ez=0.5; contrast w=50);
+* four-way algorithm equivalence STAMP == STOMP == SCRIMP == MPX
+  (test-algorithms.R:44-52).
+
+MPX/MPXAB are FFT-free and asserted BIT-EXACT vs the decoded RDS goldens.
+STOMP/STAMP/SCRIMP involve FFT seeds where numpy's FFT differs from R's
+mixed-radix FFT at ~1 ulp, so values are asserted at 1e-9 and indexes exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from matrixprofiler_spark.kernels import contrast, mpx, mpxab, scrimp, stamp, stomp
+
+W = 150
+EZ = 0.5
+
+
+def test_mpx_golden_bitexact(goldens, series):
+    res = mpx(series, W, exclusion_zone=EZ, idxs=True, euclidean=True)
+    g = goldens["mpx"]
+    np.testing.assert_array_equal(res["matrix_profile"], np.asarray(g["matrix_profile"]))
+    np.testing.assert_array_equal(res["profile_index"], np.asarray(g["profile_index"]))
+
+
+def test_mpxab_golden_bitexact(goldens, series):
+    res = mpxab(series, series[::-1].copy(), W, idxs=True, euclidean=True)
+    g = goldens["mpxab"]
+    np.testing.assert_array_equal(res["matrix_profile"], np.asarray(g["matrix_profile"]))
+    np.testing.assert_array_equal(res["profile_index"], np.asarray(g["profile_index"]))
+    np.testing.assert_array_equal(res["mpb"], np.asarray(g["mpb"]))
+    np.testing.assert_array_equal(res["pib"], np.asarray(g["pib"]))
+
+
+def _assert_profile(res, g, rtol=1e-9, check_idx=True):
+    __tracebackhide__ = True
+    np.testing.assert_allclose(
+        res["matrix_profile"], np.asarray(g["matrix_profile"], dtype=np.float64),
+        rtol=rtol, atol=1e-9,
+    )
+    if check_idx:
+        np.testing.assert_array_equal(res["profile_index"], np.asarray(g["profile_index"]))
+
+
+def test_stomp_golden(goldens, series):
+    res = stomp(series, W, exclusion_zone=EZ)
+    _assert_profile(res, goldens["stomp"])
+
+
+def test_stamp_golden(goldens, series):
+    res = stamp(series, W, exclusion_zone=EZ)
+    _assert_profile(res, goldens["stamp"])
+
+
+def test_scrimp_golden(goldens, series):
+    res = scrimp(series, W, exclusion_zone=EZ, pre_scrimp=0.25)
+    _assert_profile(res, goldens["scrimp"])
+
+
+def test_contrast_golden(goldens, series):
+    data1 = series[0:400]          # R series[1:400]
+    data2 = series[449:750]        # R series[450:750]
+    res = contrast(data1, data2, 50)
+    g = goldens["contrast"]
+    np.testing.assert_allclose(
+        res["contrast_profile"], np.asarray(g["contrast_profile"]), rtol=1e-9, atol=1e-9
+    )
+    assert res["plato_idx"] == g["plato_idx"][0]
+    assert res["plato_nn_idx"] == g["plato_nn_idx"][0]
+    np.testing.assert_allclose(res["plato"], np.asarray(g["plato"]), rtol=0, atol=0)
+    np.testing.assert_allclose(res["plato_nn"], np.asarray(g["plato_nn"]), rtol=0, atol=0)
+
+
+def test_four_way_equivalence(series):
+    """STAMP == STOMP == SCRIMP == MPX (euclidean), as the reference's
+    test-algorithms.R asserts across four independent algorithms."""
+    r_stamp = stamp(series, W, exclusion_zone=EZ)
+    r_stomp = stomp(series, W, exclusion_zone=EZ)
+    r_scrimp = scrimp(series, W, exclusion_zone=EZ)
+    r_mpx = mpx(series, W, exclusion_zone=EZ)
+    for other in (r_stomp, r_scrimp, r_mpx):
+        np.testing.assert_allclose(
+            r_stamp["matrix_profile"], other["matrix_profile"], rtol=1e-7, atol=1e-7
+        )
+
+
+def test_stomp_ab_join_matches_mpxab(series):
+    """AB-join STOMP vs MPXAB matrix_profile (ez forced to 0)."""
+    q = series[::-1].copy()
+    r1 = stomp(series, W, query=q)
+    r2 = mpxab(series, q, W)
+    np.testing.assert_allclose(
+        r1["matrix_profile"], r2["matrix_profile"], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_stomp_constant_window_inf():
+    """sigma < DBL_EPSILON windows -> +Inf distance (src/stomp.cpp:133-138)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=300)
+    x[100:140] = 3.14  # constant run -> zero-variance windows
+    res = stomp(x, 20, exclusion_zone=0.5)
+    psize = x.size - 20 + 1
+    # windows fully inside the constant run have sd 0 -> excluded as targets;
+    # their own profiles are all-Inf
+    assert np.isinf(res["matrix_profile"][110])
+    assert res["profile_index"][110] == -1
+    assert np.isfinite(res["matrix_profile"][0])
+
+
+def test_stomp_nan_skip():
+    """NA windows are zeroed + masked (src/stomp.cpp:36-51)."""
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=300)
+    x[150] = np.nan
+    res = stomp(x, 20, exclusion_zone=0.5)
+    # every window covering index 150 is a skip location -> Inf profile
+    assert np.isinf(res["matrix_profile"][140])
+    assert np.isfinite(res["matrix_profile"][0])
+
+
+@pytest.mark.parametrize("w", [16, 64])
+def test_mpx_vs_bruteforce(w):
+    """MPX vs brute-force z-norm ED matrix profile on random data."""
+    rng = np.random.default_rng(123)
+    x = rng.normal(size=400)
+    res = mpx(x, w, exclusion_zone=0.5)
+    n = x.size
+    plen = n - w + 1
+    ez = int(round(w * 0.5 + np.finfo(float).eps)) + 1
+    windows = np.lib.stride_tricks.sliding_window_view(x, w)
+    mu = windows.mean(axis=1, keepdims=True)
+    sd = windows.std(axis=1, keepdims=True)
+    z = (windows - mu) / sd
+    dist = np.sqrt(np.maximum(
+        ((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2), 0))
+    for i in range(plen):
+        lo, hi = max(0, i - ez + 1), min(plen, i + ez)
+        dist[i, lo:hi] = np.inf
+    brute = dist.min(axis=1)
+    np.testing.assert_allclose(res["matrix_profile"], brute, rtol=1e-5, atol=1e-5)
