@@ -1,0 +1,155 @@
+"""End-to-end Spark tests for the rollup engine (SURVEY.md §7.1 step 4):
+
+(a) tier stats == numpy kernel oracle bit-exactly (full buckets reproduce
+    movmean/movstd at bucket starts — the reference-parity bridge);
+(b) the embedded golden doc round-trips the Spark path;
+(c) per-row tokens equality vs the source table (input_hint invariant);
+(d) tier cascade (1h from 1m) == direct computation, exactly;
+(e) gap-fill restores a dense spine with filled flags;
+(f) parallelism invariance: output identical at 1 vs 8 partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from matrixprofiler_spark.codecs import dod_decode, gorilla_decode
+from matrixprofiler_spark.kernels.window import movmean, movmin, movstd
+from matrixprofiler_spark.operators.rollup import (
+    TIER_SIZES,
+    gap_fill,
+    tier_rollup,
+    window_stats,
+    with_derived_stats,
+)
+from matrixprofiler_spark.sources.tokens import (
+    GOLDEN_DOC_ID,
+    synth_tokens_df,
+    _gen_doc,
+)
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    df = synth_tokens_df(spark, N_DOCS, seed=42)
+    df = df.cache()
+    df.count()
+    return df
+
+
+def test_tokens_schema_and_invariants(tokens):
+    assert [f.name for f in tokens.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+    bad = tokens.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+    assert tokens.count() == N_DOCS + 1  # + golden doc
+
+
+def test_generation_is_partitioning_invariant(spark):
+    a = synth_tokens_df(spark, 10, seed=42, partitions=1).orderBy("doc_id").collect()
+    b = synth_tokens_df(spark, 10, seed=42, partitions=7).orderBy("doc_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra.doc_id == rb.doc_id and ra.tokens == rb.tokens
+
+
+def test_tier_stats_match_kernel_oracle(spark, tokens):
+    """Full 1m buckets must equal movmean/movstd(x, 60) at bucket starts,
+    bit-for-bit (exact integer sums)."""
+    roll = with_derived_stats(tier_rollup(tokens)).filter(F.col("tier") == "1m")
+    got = {
+        (r.doc_id, r.bucket): r
+        for r in roll.filter(F.col("cnt") == 60).collect()
+    }
+    pdf = tokens.select("doc_id", "tokens").toPandas().set_index("doc_id")
+    checked = 0
+    for doc_id, row in pdf.iterrows():
+        x = np.asarray(row["tokens"], dtype=np.float64)
+        if x.size < 60:
+            continue
+        mm = movmean(x, 60, "ogita")[::60]
+        ms = movstd(x, 60)[::60]
+        for bi in range(x.size // 60):
+            r = got[(doc_id, bi)]
+            assert r.mean == mm[bi], (doc_id, bi)
+            assert r.std == ms[bi], (doc_id, bi)
+            checked += 1
+    assert checked > 100
+
+
+def test_tier_cascade_exact(spark, tokens):
+    """1h tier composed from 1m == 1h computed directly from tokens."""
+    roll = tier_rollup(tokens)
+    h1 = roll.filter(F.col("tier") == "1h").orderBy("doc_id", "bucket").collect()
+    pdf = tokens.select("doc_id", "tokens").toPandas().set_index("doc_id")
+    for r in h1:
+        x = np.asarray(pdf.loc[r.doc_id, "tokens"], dtype=np.int64)
+        seg = x[r.bucket * 3600 : (r.bucket + 1) * 3600]
+        assert r.cnt == seg.size
+        assert r.sum_v == seg.sum()
+        assert r.sumsq == (seg * seg).sum()
+        assert r.min_v == seg.min() and r.max_v == seg.max()
+
+
+def test_window_stats_blobs_roundtrip(spark, tokens):
+    W = 150
+    ws = window_stats(tokens, W, keep_tokens=True)
+    rows = ws.filter(F.col("n_windows") > 0).limit(10).collect()
+    pdf = tokens.select("doc_id", "tokens").toPandas().set_index("doc_id")
+    assert rows
+    for r in rows:
+        x = np.asarray(pdf.loc[r.doc_id, "tokens"], dtype=np.float64)
+        np.testing.assert_array_equal(gorilla_decode(bytes(r.movmean_blob)), movmean(x, W, "ogita"))
+        np.testing.assert_array_equal(gorilla_decode(bytes(r.movstd_blob)), movstd(x, W))
+        np.testing.assert_array_equal(gorilla_decode(bytes(r.movmin_blob)), movmin(x, W))
+        np.testing.assert_array_equal(dod_decode(bytes(r.offsets_blob)),
+                                      np.arange(x.size - W + 1))
+        # per-row token-array equality invariant
+        assert list(r.tokens_back) == [int(v) for v in x]
+
+
+def test_golden_doc_through_spark(spark, tokens, goldens):
+    """The embedded reference doc's Spark-computed movmean blob must match
+    the golden snapshot after undoing the lossless token embedding."""
+    from matrixprofiler_spark.sources.tokens import _GOLDEN_OFFSET, _GOLDEN_SCALE
+
+    W = 150
+    ws = window_stats(tokens.filter(F.col("doc_id") == GOLDEN_DOC_ID), W)
+    r = ws.collect()[0]
+    mm_tok = gorilla_decode(bytes(r.movmean_blob))
+    series = np.asarray(goldens["series"])
+    tok = np.round(series * _GOLDEN_SCALE) + _GOLDEN_OFFSET
+    exp = movmean(tok, W, "ogita")
+    np.testing.assert_array_equal(mm_tok, exp)
+
+
+def test_gap_fill(spark, tokens):
+    roll = tier_rollup(tokens).filter(F.col("tier") == "1m")
+    # punch holes: drop every bucket % 5 == 3
+    holey = roll.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3)
+    filled = gap_fill(holey)
+    # spine is dense per doc
+    per_doc = (
+        filled.groupBy("doc_id")
+        .agg(F.countDistinct("bucket").alias("n"), (F.max("bucket") + 1).alias("expect"))
+        .filter(F.col("n") != F.col("expect"))
+        .count()
+    )
+    assert per_doc == 0
+    assert filled.filter(F.col("filled")).count() > 0
+    assert filled.filter(F.col("filled") & (F.col("cnt") != 0)).count() == 0
+
+
+def test_parallelism_invariance(spark, tokens):
+    """local partitioning must not change any output bit
+    (mirrors the reference's serial==parallel identity tests)."""
+    a = with_derived_stats(tier_rollup(tokens.repartition(1))).orderBy(
+        "doc_id", "tier", "bucket").collect()
+    b = with_derived_stats(tier_rollup(tokens.repartition(8))).orderBy(
+        "doc_id", "tier", "bucket").collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra == rb
