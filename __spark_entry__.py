@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine lives in matrixprofiler_spark/; this module is the thin
+driver-facing surface:
+
+* ``entry(spark)``      — flagship rollup pipeline at sf0.001.
+* ``queries()``         — every implemented operator (SURVEY.md §2 +
+                          training-data ops), (spark, sf_dir) -> DataFrame.
+* ``oracle_sql()``      — DuckDB-runnable ANSI SQL twins; results are
+                          designed to hash-match bit-for-bit (exact integer
+                          sums + identical IEEE double expressions); see
+                          matrixprofiler_spark/queries.py.
 """
 
 from __future__ import annotations
@@ -15,24 +20,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tiered rollup (1m->1h->1d) + derived stats + gap-fill over
+    the tokens view of /root/testdata/sf0.001, returning the filled rollup
+    table (one row per doc/tier/bucket)."""
+    from matrixprofiler_spark.operators.rollup import (
+        gap_fill,
+        tier_rollup,
+        with_derived_stats,
+    )
+    from matrixprofiler_spark.sources.tokens import tokens_from_documents
+
+    tokens = tokens_from_documents(spark, "/root/testdata/sf0.001")
+    rolled = with_derived_stats(tier_rollup(tokens))
+    return gap_fill(rolled.drop("mean", "std")).select(
+        "doc_id", "source", "tier", "bucket", "cnt", "sum_v", "sumsq",
+        "min_v", "max_v", "filled",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from matrixprofiler_spark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from matrixprofiler_spark.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and
+prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "rolled_up_points": N, "points_per_sec": N, ...}
+
+The flagship is the tiered rollup + window-stats + gap-fill pipeline over
+the synthetic tokens table (Zipf-skewed lengths, FIXTURES.md §A) — the
+"rolled-up points/sec across all retention tiers" of BASELINE.json — plus
+the oracle-checked operator queries over the driver tables.
+
+Scaling evidence (N vs 4N cores) is produced by BENCH/scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# bench-scale synthetic tokens: ~20k docs at sf0.1 (FIXTURES.md scales)
+N_DOCS = int(os.environ.get("SPARK_GRAFT_NDOCS", "20000"))
+SEED = 42
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("matrixprofiler-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(4 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from matrixprofiler_spark.operators.rollup import (
+        gap_fill,
+        tier_rollup,
+        window_stats,
+        with_derived_stats,
+    )
+    from matrixprofiler_spark.queries import queries as qreg
+    from matrixprofiler_spark.sources.tokens import ensure_synth_tokens
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_name = Path(SF_DIR).name
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- synthetic tokens table (cached parquet, written once) ----
+    t0 = time.time()
+    tok_path = str(REPO / "data" / f"tokens_{sf_name}_{N_DOCS}")
+    tokens = ensure_synth_tokens(spark, N_DOCS, tok_path, seed=SEED)
+    n_tokens_total = tokens.agg(F.sum("n_tok")).collect()[0][0]
+    times["tokens_table"] = time.time() - t0
+
+    parts = 4 * CPUS
+
+    # ---- flagship: tier rollup cascade (1m -> 1h -> 1d) ----
+    t0 = time.time()
+    rolled = with_derived_stats(tier_rollup(tokens, num_partitions=parts))
+    rollup_points = rolled.count()
+    times["rollup_tiers"] = time.time() - t0
+
+    # ---- gap-fill over the 1m tier ----
+    t0 = time.time()
+    m1 = tier_rollup(tokens, num_partitions=parts).filter(F.col("tier") == "1m")
+    holey = m1.filter(F.pmod(F.xxhash64("doc_id") + F.col("bucket"), F.lit(20)) != 0)
+    filled_points = gap_fill(holey).count()
+    times["gapfill_1m"] = time.time() - t0
+
+    # ---- raw tier: per-window stats, Gorilla-encoded ----
+    t0 = time.time()
+    ws = window_stats(tokens, w=128, num_partitions=parts)
+    window_points = ws.agg(F.sum("n_windows")).collect()[0][0] or 0
+    times["window_stats_w128"] = time.time() - t0
+
+    # rolled-up points across all retention tiers: bucket rows (x5 stats)
+    # plus the 4 per-window stat series points of the raw tier
+    points = rollup_points * 5 + filled_points * 5 + window_points * 4
+    pipeline_sec = times["rollup_tiers"] + times["gapfill_1m"] + times["window_stats_w128"]
+    extra["rolled_up_points"] = int(points)
+    extra["points_per_sec"] = points / pipeline_sec if pipeline_sec else 0.0
+    extra["tokens_total"] = int(n_tokens_total)
+    extra["tokens_per_sec"] = n_tokens_total / pipeline_sec if pipeline_sec else 0.0
+
+    # ---- operator queries over the driver tables ----
+    reg = qreg()
+    for name in (
+        "rollup_1m", "sliding_stats_w8", "matrix_profile_w8", "mass_w8",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_topk",
+        "embedding_near_dups", "text_stats", "fingerprint",
+    ):
+        t0 = time.time()
+        reg[name](spark, SF_DIR).count()
+        times[name] = time.time() - t0
+
+    total = sum(times.values())
+    out = {
+        "metric": "rolled-up points/sec (all retention tiers) + operator suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": sf_name,
+        **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in extra.items()},
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

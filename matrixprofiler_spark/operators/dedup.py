@@ -1,0 +1,170 @@
+"""Deduplication operators over the documents table.
+
+All built from JVM-side DataFrame expressions (no Python UDFs), so they run
+whole-stage-codegen'd and scale: the shuffles are the unavoidable
+groupBy/join on the dedup keys, and every join key is a bounded-cardinality
+blocking key (hash, ngram, band) — never a cross join.
+
+* exact:      md5(text) groupBy — one shuffle on the digest.
+* ngram-jaccard: word n-gram set join within a blocking key; pair counts /
+  (|A| + |B| - common) — classic candidate-pair generation, skew-bounded by
+  blocking on source.
+* minhash-LSH: per-doc signature = min(md5(gram || seed)) per seed (the
+  min-wise-independent trick with a keyed digest); bands of adjacent
+  signature slots; docs sharing a band bucket are candidate pairs.
+* simhash:    64-bit sign-aggregated fingerprint from word digests
+  (xxhash64), hamming-close pairs are near-dups.
+* embedding cosine: see operators/similarity.py (quantized-exact cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_words(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        F.split(F.col("text"), " ").alias("words"),
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text)."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.col("doc_id").cast("long")).alias("keep_doc_id"),
+        )
+    )
+
+
+def _ngrams(words_col, n: int):
+    """Distinct word n-grams of a words array (JVM-side)."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                words_col,
+                lambda w, i: F.when(
+                    i <= F.size(words_col) - n,
+                    F.concat_ws(" ", *[F.element_at(words_col, i + k + 1) for k in range(n)]),
+                ),
+            ),
+            lambda g: g.isNotNull(),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs by word n-gram Jaccard >= threshold.
+
+    Plan: explode distinct n-grams -> self equi-join on (source, gram) ->
+    pair-count aggregation -> Jaccard from exact int counts. Blocking on
+    ``source`` bounds the join fan-out."""
+    w = doc_words(docs)
+    grams = w.select(
+        "doc_id", "source", F.explode(_ngrams(F.col("words"), n)).alias("gram")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.source") == F.col("b.source")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    out = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8) -> DataFrame:
+    """Min-hash signature per doc: slot k = min over n-grams of
+    md5(gram || '#' || k) (keyed digest as the hash family). Digest-hex min
+    is a lexicographic string min — identical in any engine."""
+    w = doc_words(docs)
+    grams = w.select("doc_id", F.explode(_ngrams(F.col("words"), n)).alias("gram"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("gram"), F.lit(f"#{k}")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return grams.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
+                      band_size: int = 2) -> DataFrame:
+    """LSH candidate pairs: band id = concat of ``band_size`` adjacent
+    signature slots; docs sharing any band bucket pair up."""
+    sig = minhash_signatures(docs, n, num_hashes)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    a = all_bands.alias("a")
+    b2 = all_bands.alias("b")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from word xxhash64 digests: bit j of the
+    fingerprint = sign of sum over words of (+1 if digest bit j else -1).
+
+    Pure DataFrame: explode words -> per-bit contribution via bitwise ops ->
+    groupBy doc. Runs JVM-side; 64 shifted-AND expressions."""
+    w = doc_words(docs).select("doc_id", F.explode("words").alias("word"))
+    h = w.select("doc_id", F.xxhash64("word").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(64):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(term, j)
+        fp = shifted if fp is None else fp.bitwiseOR(shifted)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked by the
+    16-bit prefix (a real 100-TB run would block on multiple rotations)."""
+    s = simhash64(docs)
+    s = s.withColumn("block", F.shiftrightunsigned("simhash", 48))
+    a = s.alias("a")
+    b = s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "hamming")
+    )

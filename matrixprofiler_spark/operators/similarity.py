@@ -1,0 +1,107 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k, computed on QUANTIZED integer vectors
+(round(e * 10000)) so dot products and norms are exact int64 and the final
+cosine double is the same bit pattern in any engine (ANSI-SQL oracle-safe;
+quantization error ~1e-4 is irrelevant for neighbor ranking at this scale).
+
+Scale path: LSH bucketing by sign-random-projection prefix — candidates
+only join within a bucket (the 100-TB plan: broadcast the query set,
+bucket-join the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantized(emb: DataFrame, scale: int = 10000) -> DataFrame:
+    """vec_id + int64-quantized embedding + exact squared norm."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda e: F.round(e.cast("double") * scale, 0).cast("long"),
+    )
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        q.alias("qv"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias("norm2"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = 1, num_queries: int = 20) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for the first
+    ``num_queries`` vectors. The query side is broadcast (tiny), so the plan
+    is a broadcast nested-loop over the corpus — no shuffle of the corpus.
+
+    cos = dot / (sqrt(na) * sqrt(nb)) from exact integer dot/norms;
+    ties broken by smaller neighbor id (deterministic)."""
+    qv = quantized(emb)
+    queries = qv.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"), F.col("norm2").alias("q_norm2")
+    )
+    pairs = (
+        qv.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
+        .withColumn(
+            "cos",
+            F.col("dot") / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("nn_id"), "rank", "cos")
+    )
+
+
+def cosine_pairs_above(emb: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Embedding near-dup pairs: all (a < b) with cosine >= threshold.
+
+    Brute force at test scale; the LSH-bucketed variant below is the
+    100-TB path."""
+    qv = quantized(emb)
+    a = qv.alias("a")
+    b = qv.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("dot", _dot(F.col("a.qv"), F.col("b.qv")))
+        .withColumn("cos", F.col("dot") / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos")
+    )
+
+
+def srp_bucketed_candidates(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Sign-random-projection LSH buckets (the scale path for ANN): bucket
+    id = sign bits of dot(v, h_p) for deterministic pseudo-random
+    hyperplanes h_p derived from xxhash64(p, dim) — fully JVM-side.
+
+    Vectors sharing a bucket are ANN candidates; at 100 TB this turns the
+    quadratic join into a per-bucket join."""
+    qv = quantized(emb)
+    dim = 64
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # deterministic +-1 hyperplane: sign of xxhash64(p * dim + i)
+        terms = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.sequence(F.lit(p * dim), F.lit(p * dim + dim - 1)),
+                lambda x, i: F.when(F.pmod(F.xxhash64(i), F.lit(2)) == 0, x).otherwise(-x),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(F.when(terms > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p))
+    return qv.withColumn("bucket", bucket).select("vec_id", "bucket")

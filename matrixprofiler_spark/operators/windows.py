@@ -1,0 +1,244 @@
+"""Long-format sliding-window statistics and similarity-join operators over
+the tokens table — the oracle-checkable query surface.
+
+Every operator is a vectorized Arrow kernel (mapInPandas) running the real
+numpy kernels from matrixprofiler_spark.kernels per doc; no per-row Python.
+
+Exactness: on integer token data the kernels' sliding sums are exact int64,
+and with w a power of two the derived mean/std/sig are computed by the same
+IEEE double expression an ANSI-SQL oracle uses, so results are bit-identical
+to DuckDB — the driver's value-hash comparison passes without rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernels.window import movmax, movmean, movmin, movstd, movsum_ogita, muinvn
+
+SLIDING_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("off", T.IntegerType(), False),
+        T.StructField("sum_v", T.LongType(), False),
+        T.StructField("sumsq", T.LongType(), False),
+        T.StructField("mean", T.DoubleType(), False),
+        T.StructField("std", T.DoubleType(), False),
+        T.StructField("sig", T.DoubleType(), True),
+        T.StructField("min_v", T.IntegerType(), False),
+        T.StructField("max_v", T.IntegerType(), False),
+    ]
+)
+
+
+def sliding_stats(tokens_df: DataFrame, w: int) -> DataFrame:
+    """Per-window trailing stats, one row per (doc, window-start offset).
+
+    mov_sum/mov_mean/mov_std/mov_min/mov_max/muinvn-sig per
+    src/windowfunc.cpp semantics (result aligned to window start)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parts = []
+            for doc_id, toks in zip(b["doc_id"], b["tokens"]):
+                x = np.asarray(toks, dtype=np.float64)
+                n = x.size
+                if n < w:
+                    continue
+                s = movsum_ogita(x, w)
+                s2 = movsum_ogita(x * x, w)
+                mean = movmean(x, w, "ogita")
+                std = movstd(x, w)
+                mi = muinvn(x, w)["sig"]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "off": np.arange(n - w + 1, dtype=np.int32),
+                            "sum_v": s.astype(np.int64),
+                            "sumsq": s2.astype(np.int64),
+                            "mean": mean,
+                            "std": std,
+                            "sig": mi,
+                            "min_v": movmin(x, w).astype(np.int32),
+                            "max_v": movmax(x, w).astype(np.int32),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in SLIDING_SCHEMA.fields})
+            )
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(kernel, schema=SLIDING_SCHEMA)
+
+
+ZC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("off", T.IntegerType(), False),
+        T.StructField("crossings", T.IntegerType(), False),
+    ]
+)
+
+
+def zero_crossings(tokens_df: DataFrame, w: int) -> DataFrame:
+    """zero_crossing windows (src/windowfunc.cpp:538-560) per doc."""
+    from ..kernels.window import zero_crossing
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parts = []
+            for doc_id, toks in zip(b["doc_id"], b["tokens"]):
+                x = np.asarray(toks, dtype=np.float64)
+                if x.size < w:
+                    continue
+                zc = zero_crossing(x, w)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "off": np.arange(zc.size, dtype=np.int32),
+                            "crossings": zc.astype(np.int32),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in ZC_SCHEMA.fields})
+            )
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(kernel, schema=ZC_SCHEMA)
+
+
+DIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("off", T.IntegerType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+    ]
+)
+
+
+def mass_profile_exact(tokens_df: DataFrame, w: int, query_off: int = 0) -> DataFrame:
+    """Distance profile of the window at ``query_off`` vs every window of
+    the same doc — MASS semantics (squared z-norm ED, src/mass.cpp:115)
+    computed with EXACT integer dot products instead of FFT so an ANSI-SQL
+    oracle reproduces it bit-for-bit. (The FFT kernels are golden-tested in
+    tests/test_kernels_mass.py; this operator is the oracle-checkable face
+    of the same math.) Zero-variance windows are omitted, mirroring the
+    sd < eps -> +Inf masking (src/stomp.cpp:133-138)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parts = []
+            for doc_id, toks in zip(b["doc_id"], b["tokens"]):
+                xi = np.asarray(toks, dtype=np.int64)
+                n = xi.size
+                if n < w or n < query_off + w:
+                    continue
+                plen = n - w + 1
+                s = movsum_ogita(xi, w).astype(np.int64)
+                s2 = movsum_ogita(xi * xi, w).astype(np.int64)
+                mu = s / float(w)
+                sd = np.sqrt(s2 / float(w) - mu * mu)
+                q = xi[query_off : query_off + w]
+                # exact int64 sliding dot products
+                windows = np.lib.stride_tricks.sliding_window_view(xi, w)
+                qt = (windows * q).sum(axis=1)
+                mu_q, sd_q = mu[query_off], sd[query_off]
+                if not sd_q > 0:
+                    continue
+                ok = sd > 0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dist = 2 * (w - (qt - w * mu_q * mu) / (sd_q * sd))
+                dist[dist < 0] = 0  # clip, src/mass.cpp:116
+                offs = np.arange(plen, dtype=np.int32)[ok]
+                parts.append(
+                    pd.DataFrame({"doc_id": doc_id, "off": offs, "dist": dist[ok]})
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in DIST_SCHEMA.fields})
+            )
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(kernel, schema=DIST_SCHEMA)
+
+
+MP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("off", T.IntegerType(), False),
+        T.StructField("mp", T.DoubleType(), False),
+        T.StructField("nn_off", T.IntegerType(), False),
+    ]
+)
+
+
+def matrix_profile_exact(tokens_df: DataFrame, w: int, ez: float = 0.5) -> DataFrame:
+    """Self-join matrix profile per doc with STOMP's exclusion zone
+    round(w*ez + eps) (src/stomp.cpp:29,126-131), squared distances kept in
+    the exact-integer form of ``mass_profile_exact`` and min-reduced; final
+    sqrt as in src/stomp.cpp:165. nn_off is the 0-based argmin (ties -> the
+    smallest offset, matching a deterministic ORDER BY dist, off oracle).
+
+    Zero-variance windows are dropped both as queries and as targets."""
+    exclusion = int(round(w * ez + np.finfo(np.float64).eps))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parts = []
+            for doc_id, toks in zip(b["doc_id"], b["tokens"]):
+                xi = np.asarray(toks, dtype=np.int64)
+                n = xi.size
+                if n < 2 * w:
+                    continue
+                plen = n - w + 1
+                s = movsum_ogita(xi, w).astype(np.int64)
+                s2 = movsum_ogita(xi * xi, w).astype(np.int64)
+                mu = s / float(w)
+                sd = np.sqrt(s2 / float(w) - mu * mu)
+                ok = sd > 0
+                windows = np.lib.stride_tricks.sliding_window_view(xi, w)
+                # all-pairs exact integer dot products (n is small on the
+                # oracle path; the FFT/STOMP kernels handle large docs)
+                qt = windows @ windows.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dist = 2 * (w - (qt - w * mu[:, None] * mu[None, :])
+                                / (sd[:, None] * sd[None, :]))
+                dist[dist < 0] = 0  # clip, src/stomp.cpp:119
+                dist[~ok, :] = np.inf
+                dist[:, ~ok] = np.inf
+                idx = np.arange(plen)
+                band = np.abs(idx[:, None] - idx[None, :]) <= exclusion
+                dist[band] = np.inf
+                finite = np.isfinite(dist).any(axis=1) & ok
+                if not finite.any():
+                    continue
+                nn = np.argmin(dist, axis=1)
+                mp = np.sqrt(dist[idx, nn])
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "off": idx[finite].astype(np.int32),
+                            "mp": mp[finite],
+                            "nn_off": nn[finite].astype(np.int32),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in MP_SCHEMA.fields})
+            )
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(kernel, schema=MP_SCHEMA)
