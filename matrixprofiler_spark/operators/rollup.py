@@ -73,45 +73,40 @@ def finest_rollup(tokens_df: DataFrame, bucket_size: int = 60) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out_doc, out_src, out_bucket = [], [], []
-            out_cnt, out_sum, out_sumsq, out_min, out_max = [], [], [], [], []
-            for doc_id, toks, src in zip(b["doc_id"], b["tokens"], b["source"]):
-                x = np.asarray(toks, dtype=np.int64)
-                n = x.size
-                nb = (n + bucket_size - 1) // bucket_size
-                pad = nb * bucket_size - n
-                xp = np.pad(x, (0, pad))
-                m = xp.reshape(nb, bucket_size)
-                valid = np.pad(np.ones(n, dtype=np.int64), (0, pad)).reshape(nb, bucket_size)
-                cnt = valid.sum(axis=1)
-                s = m.sum(axis=1)
-                s2 = (m * m).sum(axis=1)
-                mn = np.where(valid.any(axis=1), np.where(valid == 1, m, 2**31 - 1).min(axis=1), 0)
-                mx = np.where(valid.any(axis=1), np.where(valid == 1, m, -(2**31)).max(axis=1), 0)
-                out_doc.append(np.full(nb, doc_id, dtype=object))
-                out_src.append(np.full(nb, src, dtype=object))
-                out_bucket.append(np.arange(nb, dtype=np.int64))
-                out_cnt.append(cnt)
-                out_sum.append(s)
-                out_sumsq.append(s2)
-                out_min.append(mn.astype(np.int32))
-                out_max.append(mx.astype(np.int32))
-            if not out_doc:
-                yield pd.DataFrame(
-                    {f.name: pd.Series(dtype=object) for f in ROLLUP_SCHEMA.fields}
-                )
+            if not len(b):
                 continue
+            toks_list = [np.asarray(t, dtype=np.int64) for t in b["tokens"]]
+            lens = np.fromiter((t.size for t in toks_list), dtype=np.int64,
+                               count=len(toks_list))
+            x = (np.concatenate(toks_list) if toks_list
+                 else np.empty(0, dtype=np.int64))
+            # bucket layout: each doc tiles into ceil(n/bs) buckets; buckets
+            # are contiguous in the concatenated array, so every aggregate
+            # is one reduceat / cumsum-diff over the whole batch — no
+            # per-doc Python at all.
+            nb = (lens + bucket_size - 1) // bucket_size
+            total_nb = int(nb.sum())
+            if total_nb == 0:
+                continue
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            doc_ends = doc_starts + lens
+            first_bucket = np.concatenate(([0], np.cumsum(nb)[:-1]))
+            k = np.arange(total_nb, dtype=np.int64) - np.repeat(first_bucket, nb)
+            starts = np.repeat(doc_starts, nb) + k * bucket_size
+            ends = np.minimum(starts + bucket_size, np.repeat(doc_ends, nb))
+            c = np.concatenate(([0], np.cumsum(x)))
+            c2 = np.concatenate(([0], np.cumsum(x * x)))
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(out_doc),
-                    "source": np.concatenate(out_src),
+                    "doc_id": np.repeat(b["doc_id"].to_numpy(), nb),
+                    "source": np.repeat(b["source"].to_numpy(), nb),
                     "tier": "1m",
-                    "bucket": np.concatenate(out_bucket),
-                    "cnt": np.concatenate(out_cnt),
-                    "sum_v": np.concatenate(out_sum),
-                    "sumsq": np.concatenate(out_sumsq),
-                    "min_v": np.concatenate(out_min),
-                    "max_v": np.concatenate(out_max),
+                    "bucket": k,
+                    "cnt": ends - starts,
+                    "sum_v": c[ends] - c[starts],
+                    "sumsq": c2[ends] - c2[starts],
+                    "min_v": np.minimum.reduceat(x, starts).astype(np.int32),
+                    "max_v": np.maximum.reduceat(x, starts).astype(np.int32),
                 }
             )
 
@@ -153,12 +148,22 @@ def with_derived_stats(rollup: DataFrame) -> DataFrame:
     return rollup.withColumn("mean", mean).withColumn("std", F.sqrt(var))
 
 
-def tier_rollup(tokens_df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Full cascade raw->1m->1h->1d; returns the union of tier tables."""
+def tier_rollup(tokens_df: DataFrame, num_partitions: int | None = None,
+                persist: bool = False) -> DataFrame:
+    """Full cascade raw->1m->1h->1d; returns the union of tier tables.
+
+    ``persist=True`` caches the finer tiers so the union doesn't re-run the
+    kernel per branch (in production each tier is an Iceberg table written
+    once and read by the next cascade step, which serves the same purpose —
+    see streaming/checkpoint.py)."""
     if num_partitions:
         tokens_df = salted(tokens_df, num_partitions)
     m1 = finest_rollup(tokens_df, TIER_SIZES["1m"])
+    if persist:
+        m1 = m1.persist()
     h1 = cascade_tier(m1, TIER_SIZES["1m"], TIER_SIZES["1h"], "1h")
+    if persist:
+        h1 = h1.persist()
     d1 = cascade_tier(h1, TIER_SIZES["1h"], TIER_SIZES["1d"], "1d")
     return m1.unionByName(h1).unionByName(d1)
 
