@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (BASELINE.json: throughput scaling efficiency
+>= 0.8 from N to 4N parallelism).
+
+Sandbox proxy per driver instruction: run the IDENTICAL rollup job (same
+input, same partition count >= 4x the larger core count) at local[N] and
+local[4N], report rolled-up points/sec at both and
+efficiency = (pts/s @ 4N) / (4 x pts/s @ N).
+
+Each run is a fresh JVM (subprocess) so executor-thread pools don't leak
+between measurements. Results are appended to BENCH/BASELINE.md.
+
+Usage: python BENCH/scaling.py [n_small] [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from matrixprofiler_spark.operators.rollup import tier_rollup, window_stats, gap_fill, with_derived_stats
+from matrixprofiler_spark.sources.tokens import ensure_synth_tokens
+
+cpus = int(sys.argv[1]); parts = int(sys.argv[2]); n_docs = int(sys.argv[3])
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+    .config("spark.sql.shuffle.partitions", str(parts))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.files.maxPartitionBytes", "8m")
+    .config("spark.driver.memory", "48g")
+    .config("spark.local.dir", "/dev/shm/spark-local")
+    .config("spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+tokens = ensure_synth_tokens(spark, n_docs, {repo!r} + f"/data/tokens_scaling_{{n_docs}}", seed=42)
+tokens.count()  # warm the input cache path (I/O excluded from scaling meas.)
+
+# the cached parquet is already uniformly laid out in small files, so the
+# scan itself provides balanced partitions — no salted repartition needed
+# (salting matters when the SOURCE layout is skewed; see operators/rollup).
+t0 = time.time()
+rolled = with_derived_stats(tier_rollup(tokens, persist=True))
+rollup_points = rolled.count()
+m1 = rolled.filter(F.col("tier") == "1m")
+holey = m1.filter(F.pmod(F.xxhash64("doc_id") + F.col("bucket"), F.lit(20)) != 0)
+filled_points = gap_fill(holey).count()
+ws = window_stats(tokens, w=128)
+window_points = ws.agg(F.sum("n_windows")).collect()[0][0] or 0
+elapsed = time.time() - t0
+
+points = rollup_points * 5 + filled_points * 5 + window_points * 4
+print(json.dumps({{"cpus": cpus, "elapsed": elapsed, "points": int(points),
+                   "pts_per_sec": points / elapsed}}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, parts: int, n_docs: int) -> dict:
+    code = RUNNER.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(parts), str(n_docs)],
+        capture_output=True, text=True, cwd=REPO, timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def hw_calibration(n_small: int, n_big: int) -> dict:
+    """Measure the MACHINE's own parallel-scaling ceiling with a pure-numpy
+    multiprocessing probe (no Spark). On SMT hardware, 4x threads != 4x
+    cores, so the engine cannot exceed this ceiling; report it alongside."""
+    import multiprocessing as mp
+
+    def probe(procs: int) -> float:
+        n_tasks = 4 * procs
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_hw_work, range(n_tasks))
+        return n_tasks / (time.time() - t0)
+
+    tp_small = probe(n_small)
+    tp_big = probe(n_big)
+    return {
+        "hw_tasks_per_sec_small": round(tp_small, 2),
+        "hw_tasks_per_sec_big": round(tp_big, 2),
+        "hw_ceiling_efficiency": round(tp_big / (4 * tp_small), 3),
+    }
+
+
+def _hw_work(_):
+    import numpy as np
+
+    x = np.arange(4096, dtype=np.float64)
+    s = 0.0
+    for _i in range(1500):
+        s += float(np.sin(x).sum())
+    return s
+
+
+def kernel_scaling(n_small: int, n_big: int, n_docs: int = 4000) -> dict:
+    """Pure-Python multiprocessing scaling of the window-stats kernel itself
+    (generation + ogita stats + Gorilla/DoD encode), isolating the kernel
+    from Spark's local-mode shared-JVM overheads."""
+    import multiprocessing as mp
+
+    chunks = [(i * n_docs // 64, (i + 1) * n_docs // 64) for i in range(64)]
+    out = {}
+    for procs in (n_small, n_big):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            tok = sum(p.map(_kernel_work, chunks))
+        out[procs] = tok / (time.time() - t0)
+    return {
+        "kernel_tokens_per_sec_small": round(out[n_small], 0),
+        "kernel_tokens_per_sec_big": round(out[n_big], 0),
+        "kernel_scaling_efficiency": round(out[n_big] / (4 * out[n_small]), 3),
+    }
+
+
+def _kernel_work(args):
+    lo, hi = args
+    sys.path.insert(0, str(REPO))
+    import numpy as np
+
+    from matrixprofiler_spark.codecs import dod_encode, gorilla_encode
+    from matrixprofiler_spark.kernels.window import movmax, movmean, movmin, movstd
+    from matrixprofiler_spark.sources.tokens import _gen_doc
+
+    tot = 0
+    for i in range(lo, hi):
+        tok, _ = _gen_doc(i, 42)
+        x = tok.astype(np.float64)
+        if x.size < 128:
+            continue
+        for blob in (movmean(x, 128, "ogita"), movstd(x, 128),
+                     movmin(x, 128), movmax(x, 128)):
+            gorilla_encode(blob)
+        dod_encode(np.arange(x.size - 127, dtype=np.int64))
+        tot += x.size
+    return tot
+
+
+def main():
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    n_big = 4 * n_small
+    parts = 4 * n_big  # same partition count for both runs, >= 4x big cores
+
+    # warm the cached tokens parquet once so neither run pays generation
+    run_at(n_big, parts, n_docs)
+
+    # the sandbox's CPU quota fluctuates; interleave configs and keep the
+    # best of three runs each so a throttling episode doesn't skew the ratio
+    runs_small, runs_big, hws = [], [], []
+    for _ in range(3):
+        runs_small.append(run_at(n_small, parts, n_docs))
+        runs_big.append(run_at(n_big, parts, n_docs))
+        hws.append(hw_calibration(n_small, n_big))
+    r_small = min(runs_small, key=lambda r: r["elapsed"])
+    r_big = min(runs_big, key=lambda r: r["elapsed"])
+    eff = r_big["pts_per_sec"] / (4 * r_small["pts_per_sec"])
+    hw = {k: round(max(h[k] for h in hws), 3) for k in hws[0]}
+    kern = kernel_scaling(n_small, n_big)
+    result = {
+        "n_docs": n_docs,
+        "partitions": parts,
+        "small": r_small,
+        "big": r_big,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        **hw,
+        **kern,
+        "efficiency_vs_hw_ceiling": round(eff / hw["hw_ceiling_efficiency"], 3)
+        if hw["hw_ceiling_efficiency"] else None,
+    }
+    print(json.dumps(result, indent=2))
+    with open(REPO / "BENCH" / f"scaling_result_{n_small}to{n_big}.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

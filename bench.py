@@ -41,6 +41,7 @@ def build_spark(cpus: int):
         .appName("matrixprofiler-spark-bench")
         .config("spark.sql.shuffle.partitions", str(4 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.driver.memory", "48g")

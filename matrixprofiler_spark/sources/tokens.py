@@ -124,7 +124,11 @@ def ensure_synth_tokens(spark: SparkSession, n_docs: int, path: str,
     an Iceberg table); returns a reader DataFrame."""
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        synth_tokens_df(spark, n_docs, seed).write.mode("overwrite").parquet(path)
+        # many small files -> full scan parallelism at any core count
+        parts = max(128, spark.sparkContext.defaultParallelism * 4)
+        synth_tokens_df(spark, n_docs, seed, partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(path)
     return spark.read.parquet(path)
 
 
