@@ -1,0 +1,83 @@
+"""Kill-and-resume test for the snapshot-checkpointed rollup job
+(BASELINE.json north_rule: resumable from checkpoint, per-partition lineage
+manifests + metrics; idempotent re-run skips completed partitions)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from matrixprofiler_spark.operators.rollup import finest_rollup, with_derived_stats
+from matrixprofiler_spark.sources.tokens import synth_tokens_df
+from matrixprofiler_spark.streaming.checkpoint import RollupJob, read_manifest
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    df = synth_tokens_df(spark, 30, seed=42).cache()
+    df.count()
+    return df
+
+
+def test_kill_and_resume(spark, tokens, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ckpt")
+    job = RollupJob(spark, base, n_groups=6)
+
+    # first run dies after 3 groups
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(tokens, fail_after=3)
+    done_after_crash = job.completed_groups()
+    assert len(done_after_crash) == 3
+    assert not (base / "_stage_rollup_1m_COMMITTED").exists()
+
+    # resume: processes exactly the remaining groups, skips completed ones
+    job2 = RollupJob(spark, base, n_groups=6)
+    processed = job2.run(tokens)
+    assert sorted(processed) == sorted(set(range(6)) - set(done_after_crash))
+    assert len(job2.completed_groups()) == 6
+    assert (base / "_stage_rollup_1m_COMMITTED").exists()
+
+    # a second re-run is a no-op (idempotent)
+    assert job2.run(tokens) == []
+
+    # resumed result == single-shot computation, bit-for-bit
+    resumed = job2.result().orderBy("doc_id", "bucket").collect()
+    direct = (
+        with_derived_stats(finest_rollup(tokens))
+        .orderBy("doc_id", "bucket")
+        .collect()
+    )
+    assert len(resumed) == len(direct)
+    for a, b in zip(resumed, direct):
+        assert a.asDict() == b.asDict()
+
+
+def test_manifests_carry_lineage(spark, tokens, tmp_path):
+    job = RollupJob(spark, tmp_path, n_groups=4)
+    job.run(tokens)
+    total_docs = 0
+    for k in range(4):
+        m = read_manifest(tmp_path, "rollup_1m", k)
+        assert m is not None
+        assert m["rows"] > 0 and m["elapsed_sec"] >= 0
+        assert m["kernel_version"]
+        assert m["points"] == m["rows"] * 5
+        total_docs += m["n_docs"]
+    assert total_docs == tokens.count()
+    metrics = job.metrics()
+    assert metrics["groups_done"] == 4
+    assert metrics["points"] == metrics["rows"] * 5
+
+
+def test_torn_manifest_is_retried(spark, tokens, tmp_path):
+    job = RollupJob(spark, tmp_path, n_groups=4)
+    job.run(tokens)
+    # corrupt one manifest -> that group must be considered incomplete
+    victim = Path(tmp_path) / "manifests" / "rollup_1m_2.json"
+    victim.write_text('{"stage": "rollup_1m", "part":')
+    job2 = RollupJob(spark, tmp_path, n_groups=4)
+    assert sorted(job2.completed_groups()) == [0, 1, 3]
+    assert job2.run(tokens) == [2]
