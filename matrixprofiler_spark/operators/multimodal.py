@@ -1,0 +1,184 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched kernels over ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is stubbed —
+``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder (seeded by the payload digest) produces
+pixel arrays of the declared shape. Everything around the stub — schema,
+batch shape, partitioning, UDF signatures, feature extraction on the
+decoded arrays — is real and tested (tests/test_multimodal.py).
+
+Schema of a media table:
+    media_id: string, kind: string ('image'|'audio'), payload: binary,
+    meta: struct<width:int, height:int, channels:int,
+                 sample_rate:int, n_samples:int>
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_samples", T.IntegerType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table: payload = pseudo-random bytes whose
+    digest seeds the fake decoder (so decode is reproducible anywhere)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for idx in b["id"].tolist():
+                rng = np.random.Generator(np.random.Philox(key=seed, counter=[1, 0, 0, idx]))
+                if idx % 2 == 0:
+                    w, h, c = int(rng.integers(16, 64)), int(rng.integers(16, 64)), 3
+                    payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+                    rows.append((f"img_{idx:06d}", "image", payload,
+                                 (w, h, c, None, None)))
+                else:
+                    sr, ns = 16000, int(rng.integers(1600, 16000))
+                    payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+                    rows.append((f"aud_{idx:06d}", "audio", payload,
+                                 (None, None, None, sr, ns)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, width: int, height: int, channels: int,
+                 fake: bool = False) -> np.ndarray:
+    """STUB: real implementation would be e.g. PIL/libjpeg (not available in
+    this container). ``fake=True`` yields a deterministic uint8 array of the
+    declared shape, seeded by the payload digest — stable across machines."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+
+
+def decode_audio(payload: bytes, n_samples: int, fake: bool = False) -> np.ndarray:
+    """STUB, same contract as decode_image: float32 waveform in [-1, 1)."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs are not installed in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return (rng.random(n_samples, dtype=np.float32) * 2 - 1).astype(np.float32)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("mean_lum", T.DoubleType(), False),
+        T.StructField("std_lum", T.DoubleType(), False),
+        T.StructField("resized_8x8", T.ArrayType(T.DoubleType()), False),
+        T.StructField("phash64", T.LongType(), False),
+    ]
+)
+
+
+def image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Decode -> grayscale -> resize 8x8 (area mean) -> perceptual-hash-style
+    64-bit fingerprint + luminance stats. All vectorized numpy per batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                img = decode_image(bytes(payload), meta["width"], meta["height"],
+                                   meta["channels"], fake=fake_decode)
+                gray = img.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                # area-mean resize to 8x8 via integer bucket edges
+                ye = np.linspace(0, h, 9).astype(int)
+                xe = np.linspace(0, w, 9).astype(int)
+                small = np.array(
+                    [
+                        [gray[ye[i]:ye[i + 1], xe[j]:xe[j + 1]].mean() for j in range(8)]
+                        for i in range(8)
+                    ]
+                )
+                bits = (small > np.median(small)).ravel()
+                phash = 0
+                for k, bit in enumerate(bits):
+                    if bit:
+                        phash |= 1 << k
+                # keep int64-signed range
+                phash = phash - (1 << 64) if phash >= (1 << 63) else phash
+                rows.append((mid, float(gray.mean()), float(gray.std()),
+                             small.ravel().tolist(), phash))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    imgs = media.filter(F.col("kind") == "image")
+    return imgs.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("duration_sec", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_crossing_rate", T.DoubleType(), False),
+        T.StructField("frame_rms", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame, frame: int = 1024,
+                   fake_decode: bool = True) -> DataFrame:
+    """Decode -> frame-sample RMS series + global stats (the audio analog of
+    the rollup engine's per-window aggregation)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                x = decode_audio(bytes(payload), meta["n_samples"], fake=fake_decode)
+                sr = meta["sample_rate"]
+                nf = x.size // frame
+                fr = (
+                    np.sqrt((x[: nf * frame].reshape(nf, frame).astype(np.float64) ** 2).mean(axis=1))
+                    if nf
+                    else np.zeros(0)
+                )
+                zc = float(((x[1:] * x[:-1]) < 0).mean()) if x.size > 1 else 0.0
+                rows.append((mid, x.size / sr, float(np.sqrt((x.astype(np.float64) ** 2).mean())),
+                             zc, fr.tolist()))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    auds = media.filter(F.col("kind") == "audio")
+    return auds.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
