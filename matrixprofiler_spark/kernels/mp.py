@@ -51,11 +51,15 @@ def _zero_bad(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def stomp(data, window_size: int, query=None, exclusion_zone: float = 0.5) -> dict:
+def stomp(data, window_size: int, query=None, exclusion_zone: float = 0.5,
+          left_right_profile: bool = False) -> dict:
     """STOMP via the O(1) dot-product recurrence (src/stomp.cpp:26-184).
 
     Self-join when query is None; AB-join forces ez=0 (R/stomp.R:105).
-    Returns squared-rooted matrix_profile + 1-based profile_index."""
+    Returns squared-rooted matrix_profile + 1-based profile_index.
+    ``left_right_profile`` adds LMP/RMP (min restricted to j<i / j>i,
+    src/stomp.cpp:140-153); the reference invariant
+    mp == pmin(left, right) is tested."""
     x = _as_f64(data)
     ez = float(exclusion_zone)
     self_join = query is None
@@ -75,6 +79,11 @@ def stomp(data, window_size: int, query=None, exclusion_zone: float = 0.5) -> di
 
     mp = np.full(psize, np.inf, dtype=_F64)
     pi = np.full(psize, -1, dtype=np.int32)
+    if left_right_profile:
+        lmp = np.full(psize, np.inf, dtype=_F64)
+        lpi = np.full(psize, -1, dtype=np.int32)
+        rmp = np.full(psize, np.inf, dtype=_F64)
+        rpi = np.full(psize, -1, dtype=np.int32)
 
     grain = set_k(4096, n, w)
     pre = mass_pre(xd, w, query=None if self_join else qd)
@@ -123,16 +132,34 @@ def stomp(data, window_size: int, query=None, exclusion_zone: float = 0.5) -> di
             dcur[:] = np.inf
         dcur[skip] = np.inf
 
+        if left_right_profile and i < psize:
+            # left profile: positions >= i see query i on their left
+            seg = slice(i, psize)
+            ldx = dcur[seg] < lmp[seg]
+            lmp[seg][ldx] = dcur[seg][ldx]
+            lpi[seg][ldx] = i
+            # right profile: positions <= i see query i on their right
+            seg2 = slice(0, i + 1)
+            rdx = dcur[seg2] < rmp[seg2]
+            rmp[seg2][rdx] = dcur[seg2][rdx]
+            rpi[seg2][rdx] = i
+
         upd = dcur < mp
         mp[upd] = dcur[upd]
         pi[upd] = i + 1
 
-    return {
+    out = {
         "matrix_profile": np.sqrt(mp),
         "profile_index": pi,
         "partial": False,
         "ez": ez,
     }
+    if left_right_profile:
+        out["left_matrix_profile"] = np.sqrt(lmp)
+        out["left_profile_index"] = lpi
+        out["right_matrix_profile"] = np.sqrt(rmp)
+        out["right_profile_index"] = rpi
+    return out
 
 
 def stamp(data, window_size: int, query=None, exclusion_zone: float = 0.5) -> dict:

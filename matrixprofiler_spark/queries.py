@@ -147,6 +147,8 @@ FROM spine s LEFT JOIN r ON s.doc_id = r.doc_id AND s.bucket = r.bucket
 
 def q_sliding_stats(spark, sf_dir):
     s = sliding_stats(_tok(spark, sf_dir), W)
+    # mov_var (ogita): (sumsq/w) - mean*mean, src/windowfunc.cpp:87-94
+    s = s.withColumn("var", F.col("sumsq") / W - F.col("mean") * F.col("mean"))
     # NULL sig on zero-variance windows (exact integer test), matching SQL
     zero_var = F.col("sumsq") * W == F.col("sum_v") * F.col("sum_v")
     return s.withColumn("sig", F.when(zero_var, F.lit(None)).otherwise(F.col("sig")))
@@ -157,7 +159,8 @@ WITH {TOK_CTE}, {WIN_CTE}
 SELECT doc_id, off,
        s AS sum_v,
        s2 AS sumsq,
-       s / 8.0 AS mean,
+       s / {W}.0 AS mean,
+       s2 / {W}.0 - (s / {W}.0) * (s / {W}.0) AS var,
        sqrt(s2 / {W}.0 - (s / {W}.0) * (s / {W}.0)) AS std,
        CASE WHEN s2 * {W} = s * s THEN NULL
             ELSE 1.0 / sqrt(s2 - (s / {W}.0) * (s / {W}.0) * {W}) END AS sig,
@@ -642,6 +645,232 @@ def _kernel_query(fn_name: str, w: int):
     return run
 
 
+
+
+def q_normalize_params(spark, sf_dir):
+    """normalize() rescale factors per doc (src/mathtools.cpp:131-143):
+    a = (max_lim - min_lim)/(max - min), b = max_lim - a*max, plus how many
+    positions clip — the whole affine map, verified without exploding."""
+    t = _tok(spark, sf_dir)
+    mx = F.array_max("tokens").cast("double")
+    mn = F.array_min("tokens").cast("double")
+    a = (F.lit(5.0) - F.lit(1.0)) / (mx - mn)
+    bb = F.lit(5.0) - a * mx
+    return t.select(
+        "doc_id",
+        a.alias("a"),
+        bb.alias("b"),
+        F.size(F.filter(F.col("tokens"), lambda x: a * x.cast("double") + bb > 5.0)).alias("n_clip_hi"),
+    )
+
+
+SQL_NORMALIZE_PARAMS = f"""
+WITH {TOK_CTE},
+g AS (
+  SELECT doc_id, CAST(MAX(tok) AS DOUBLE) AS mx, CAST(MIN(tok) AS DOUBLE) AS mn,
+         COUNT(*) AS n
+  FROM pos GROUP BY 1
+),
+p AS (
+  SELECT doc_id, (5.0 - 1.0) / (mx - mn) AS a, 5.0 - ((5.0 - 1.0) / (mx - mn)) * mx AS b
+  FROM g
+)
+SELECT p.doc_id, p.a, p.b,
+       CAST(COUNT(*) FILTER (WHERE p.a * pos.tok + p.b > 5.0) AS INT) AS n_clip_hi
+FROM p JOIN pos ON pos.doc_id = p.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+def q_ed_corr(spark, sf_dir):
+    """ed_corr/corr_ed conversion pair (src/mathtools.cpp:191-204) applied
+    to the matrix-profile distances; roundtrip must return the input where
+    corr <= 1."""
+    mp = matrix_profile_exact(_tok(spark, sf_dir), W, ez=0.5)
+    corr = (F.lit(2 * W) - F.col("mp") * F.col("mp")) / F.lit(2 * W)
+    back = F.sqrt(F.lit(2 * W) * (F.lit(1.0) - F.when(corr > 1, F.lit(1.0)).otherwise(corr)))
+    return mp.select("doc_id", "off", corr.alias("corr"), back.alias("ed_back"))
+
+
+SQL_ED_CORR = (
+    SQL_MATRIX_PROFILE_W8.rstrip()
+    .replace("SELECT doc_id, CAST(off AS INT) AS off, sqrt(d) AS mp, CAST(nn AS INT) AS nn_off\nFROM best WHERE rn = 1",
+             """SELECT doc_id, CAST(off AS INT) AS off,
+       (16 - sqrt(d) * sqrt(d)) / 16 AS corr,
+       sqrt(16 * (1.0 - CASE WHEN (16 - sqrt(d) * sqrt(d)) / 16 > 1
+                             THEN 1.0 ELSE (16 - sqrt(d) * sqrt(d)) / 16 END)) AS ed_back
+FROM best WHERE rn = 1""")
+)
+
+
+_BSPLIT_SCHEMA = T.StructType(
+    [T.StructField("pos", T.IntegerType()), T.StructField("idx", T.IntegerType())]
+)
+
+
+def q_binary_split(spark, sf_dir):
+    """binary_split(200) anytime visit order (src/mathtools.cpp:146-188) —
+    rows-only (driver-side ordering helper, golden-tested vs snapshot)."""
+    from .kernels import binary_split
+
+    order = binary_split(200)
+    return spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(order)], schema=_BSPLIT_SCHEMA
+    )
+
+
+def _mov_variants_query(spark, sf_dir):
+    """mov_sum/mean/var weighted + fading variants (recursive exponential
+    windows, src/windowfunc.cpp:286-450) — not SQL-expressible; rows-only."""
+    from .kernels import movmean, movsum, movvar
+
+    toks = synth_tokens_df(spark, 16, seed=42)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("off", T.IntegerType()),
+            T.StructField("sum_weighted", T.DoubleType()),
+            T.StructField("sum_fading", T.DoubleType()),
+            T.StructField("mean_weighted", T.DoubleType()),
+            T.StructField("mean_fading", T.DoubleType()),
+            T.StructField("var_weighted", T.DoubleType()),
+            T.StructField("var_fading", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        w = 64
+        for b in batches:
+            parts = []
+            for doc_id, t in zip(b["doc_id"], b["tokens"]):
+                x = np.asarray(t, dtype=np.float64)[:1000]
+                if x.size < w:
+                    continue
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "off": np.arange(x.size - w + 1, dtype=np.int32),
+                            "sum_weighted": movsum(x, w, "weighted"),
+                            "sum_fading": movsum(x, w, "fading"),
+                            "mean_weighted": movmean(x, w, "weighted"),
+                            "mean_fading": movmean(x, w, "fading"),
+                            "var_weighted": movvar(x, w, "weighted"),
+                            "var_fading": movvar(x, w, "fading"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
+            )
+
+    return toks.mapInPandas(kernel, schema=schema)
+
+
+def _contrast_query(spark, sf_dir):
+    """Contrast Profile (src/contrast.cpp:22-88) between consecutive synth
+    doc pairs — rows-only (MPX-based composite)."""
+    from .kernels import contrast
+
+    toks = synth_tokens_df(spark, 8, seed=42, include_golden=False)
+
+    schema = T.StructType(
+        [
+            T.StructField("pair_id", T.StringType()),
+            T.StructField("off", T.IntegerType()),
+            T.StructField("cp", T.DoubleType()),
+            T.StructField("plato_idx", T.IntegerType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = 50
+        rows = pdf.sort_values("doc_id").reset_index(drop=True)
+        parts = []
+        for i in range(0, len(rows) - 1, 2):
+            neg = np.asarray(rows.loc[i, "tokens"], dtype=np.float64)[:800]
+            pos = np.asarray(rows.loc[i + 1, "tokens"], dtype=np.float64)[:800]
+            if neg.size < 2 * w or pos.size < 2 * w:
+                continue
+            r = contrast(neg, pos, w)
+            cp = r["contrast_profile"]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "pair_id": f"{rows.loc[i, 'doc_id']}|{rows.loc[i + 1, 'doc_id']}",
+                        "off": np.arange(cp.size, dtype=np.int32),
+                        "cp": cp,
+                        "plato_idx": np.int32(r["plato_idx"]),
+                    }
+                )
+            )
+        return (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
+        )
+
+    return (
+        toks.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda pdf: kernel(pdf).assign(), schema=schema)
+    )
+
+
+def _mpxab_query(spark, sf_dir):
+    """MPX AB-join (src/mpx.cpp:999-1174) between consecutive synth docs —
+    rows-only; sig>60 guard active."""
+    from .kernels import mpxab
+
+    toks = synth_tokens_df(spark, 8, seed=42, include_golden=False)
+
+    schema = T.StructType(
+        [
+            T.StructField("pair_id", T.StringType()),
+            T.StructField("off", T.IntegerType()),
+            T.StructField("mp_a", T.DoubleType()),
+            T.StructField("pi_a", T.IntegerType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = 64
+        rows = pdf.sort_values("doc_id").reset_index(drop=True)
+        parts = []
+        for i in range(0, len(rows) - 1, 2):
+            a = np.asarray(rows.loc[i, "tokens"], dtype=np.float64)[:1200]
+            b = np.asarray(rows.loc[i + 1, "tokens"], dtype=np.float64)[:1200]
+            if a.size < 2 * w or b.size < 2 * w:
+                continue
+            r = mpxab(a, b, w)
+            mp = r["matrix_profile"]
+            fin = np.isfinite(mp)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "pair_id": f"{rows.loc[i, 'doc_id']}|{rows.loc[i + 1, 'doc_id']}",
+                        "off": np.arange(mp.size, dtype=np.int32)[fin],
+                        "mp_a": mp[fin],
+                        "pi_a": np.asarray(r["profile_index"], dtype=np.int32)[fin],
+                    }
+                )
+            )
+        return (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
+        )
+
+    return (
+        toks.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda pdf: kernel(pdf), schema=schema)
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -672,6 +901,12 @@ def queries() -> dict:
         "kernel_scrimp_w64": _kernel_query("scrimp", 64),
         "kernel_mpx_w64": _kernel_query("mpx", 64),
         "kernel_mass_w64": _kernel_query("mass", 64),
+        "kernel_mpxab_w64": _mpxab_query,
+        "kernel_contrast_w50": _contrast_query,
+        "kernel_mov_weighted_fading": _mov_variants_query,
+        "binary_split": q_binary_split,
+        "normalize_params": q_normalize_params,
+        "ed_corr_roundtrip": q_ed_corr,
     }
     return q
 
@@ -697,4 +932,6 @@ def oracle_sql() -> dict:
         "lang_guess": SQL_LANG_GUESS,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
+        "normalize_params": SQL_NORMALIZE_PARAMS,
+        "ed_corr_roundtrip": SQL_ED_CORR,
     }

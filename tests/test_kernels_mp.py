@@ -144,3 +144,19 @@ def test_mpx_vs_bruteforce(w):
         dist[i, lo:hi] = np.inf
     brute = dist.min(axis=1)
     np.testing.assert_allclose(res["matrix_profile"], brute, rtol=1e-5, atol=1e-5)
+
+
+def test_left_right_profiles(series):
+    """mp == pmin(left, right), mirroring the reference's own invariant
+    (test-stomp.R 'Left Right Profiles')."""
+    res = stomp(series, W, exclusion_zone=EZ, left_right_profile=True)
+    join = np.minimum(res["left_matrix_profile"], res["right_matrix_profile"])
+    np.testing.assert_allclose(res["matrix_profile"], join, rtol=0, atol=0)
+    # left profile index always < position; right always > position
+    lpi = res["left_profile_index"]
+    rpi = res["right_profile_index"]
+    pos = np.arange(lpi.size)
+    ok_l = lpi >= 0
+    ok_r = rpi >= 0
+    assert (lpi[ok_l] <= pos[ok_l]).all()
+    assert (rpi[ok_r] >= pos[ok_r]).all()
