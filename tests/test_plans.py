@@ -1,0 +1,76 @@
+"""Physical-plan quality tests: the declarative parts of the engine must
+keep Catalyst's optimizations — column pruning and predicate pushdown reach
+the parquet scan, small dimension joins broadcast, the kernel stages sit
+directly on pruned scans (no accidental extra shuffles), and tier cascades
+aggregate map-side before their single shuffle. (WholeStageCodegen spans
+are only visible in finalized AQE plans, so codegen is implied by the
+HashAggregate operators rather than asserted by name.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matrixprofiler_spark.operators.rollup import finest_rollup
+from matrixprofiler_spark.operators.similarity import cosine_topk
+from matrixprofiler_spark.sources.tokens import tokens_from_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_prunes_columns(spark):
+    """finest_rollup needs only doc_id/tokens/source -> ReadSchema must not
+    include lang or n_chars."""
+    tok = tokens_from_documents(spark, SF)
+    plan = plan_of(finest_rollup(tok))
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema
+    assert "n_chars" not in read_schema
+    assert "text" in read_schema  # tokens derive from text
+
+
+def test_filter_pushdown_to_scan(spark):
+    """A source filter must reach the parquet scan as a pushed filter."""
+    tok = tokens_from_documents(spark, SF).filter(F.col("source") == "src1")
+    plan = plan_of(finest_rollup(tok))
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "source" in pushed and "src1" in pushed
+
+
+def test_no_shuffle_before_kernel(spark):
+    """Docs are independent rows: the finest-rollup kernel must sit directly
+    on the scan — zero Exchange operators in the plan unless salting is
+    explicitly requested."""
+    tok = tokens_from_documents(spark, SF)
+    plan = plan_of(finest_rollup(tok))
+    assert "Exchange" not in plan
+
+
+def test_broadcast_join_for_small_query_side(spark):
+    """cosine_topk broadcasts the tiny query set; the corpus must not be
+    shuffled for the join."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(cosine_topk(emb, k=1, num_queries=5))
+    assert "Broadcast" in plan
+
+
+def test_whole_stage_codegen_in_cascade(spark):
+    """The tier cascade aggregation is JVM-side with codegen (and partial
+    map-side aggregation), not a Python round-trip."""
+    from matrixprofiler_spark.operators.rollup import cascade_tier
+
+    tok = tokens_from_documents(spark, SF)
+    h1 = cascade_tier(finest_rollup(tok), 60, 3600, "1h")
+    plan = plan_of(h1)
+    # map-side partial aggregation + exactly one shuffle on the group keys
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
