@@ -36,6 +36,7 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.shuffle.partitions", str(parts))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.files.maxPartitionBytes", "8m")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
     .config("spark.driver.memory", "48g")
     .config("spark.local.dir", "/dev/shm/spark-local")
     .config("spark.driver.extraJavaOptions",
@@ -162,7 +163,7 @@ def main():
     # the sandbox's CPU quota fluctuates; interleave configs and keep the
     # best of three runs each so a throttling episode doesn't skew the ratio
     runs_small, runs_big, hws = [], [], []
-    for _ in range(3):
+    for _ in range(int(os.environ.get("SCALING_REPS", "3"))):
         runs_small.append(run_at(n_small, parts, n_docs))
         runs_big.append(run_at(n_big, parts, n_docs))
         hws.append(hw_calibration(n_small, n_big))
