@@ -195,7 +195,10 @@ def window_stats(tokens_df: DataFrame, w: int, num_partitions: int | None = None
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for doc_id, toks, src in zip(b["doc_id"], b["tokens"], b["source"]):
+            base_offs = b["chunk_off"] if "chunk_off" in b.columns else [0] * len(b)
+            for doc_id, toks, src, base in zip(
+                b["doc_id"], b["tokens"], b["source"], base_offs
+            ):
                 x = np.asarray(toks, dtype=np.int32)
                 n = int(x.size)
                 if n < w:
@@ -207,7 +210,7 @@ def window_stats(tokens_df: DataFrame, w: int, num_partitions: int | None = None
                 ms = movstd(xf, w)
                 mi = movmin(xf, w)
                 ma = movmax(xf, w)
-                offs = np.arange(n - w + 1, dtype=np.int64)
+                offs = int(base) + np.arange(n - w + 1, dtype=np.int64)
                 rows.append(
                     (doc_id, src, w, n, int(n - w + 1),
                      gorilla_encode(mm), gorilla_encode(ms),
@@ -223,9 +226,58 @@ def window_stats(tokens_df: DataFrame, w: int, num_partitions: int | None = None
     df = tokens_df
     if num_partitions:
         df = salted(df, num_partitions)
-    return df.select("doc_id", "source", "tokens").mapInPandas(
-        kernel, schema=WINDOW_STATS_SCHEMA
+    cols = ["doc_id", "source", "tokens"] + (
+        ["chunk_off"] if "chunk_off" in tokens_df.columns else []
     )
+    return df.select(*cols).mapInPandas(kernel, schema=WINDOW_STATS_SCHEMA)
+
+
+def chunk_tokens(tokens_df: DataFrame, w: int, chunk_len: int = 4096) -> DataFrame:
+    """Range-repartition on sequence offset: split long docs into chunks of
+    ``chunk_len`` offsets with w-1 overlap — the distributed analog of MASS
+    v3's chunked processing (src/mass.cpp:168-192) — so a single 16k-token
+    doc no longer pins one task (token-length skew defeat, north_rule).
+
+    Chunk c covers offsets [c*chunk_len, min(n, (c+1)*chunk_len + w - 1));
+    every window start lands in exactly one chunk, so per-window outputs
+    concatenate losslessly. All slicing is JVM-side (sequence + transform +
+    slice), then a repartition spreads chunks across tasks.
+
+    Output schema: (doc_id, source, chunk_off long, tokens array<int>) where
+    chunk_off is the global offset of the chunk's first element."""
+    n_chunks = F.ceil((F.col("n_tok") - F.lit(w - 1)) / F.lit(chunk_len)).cast("int")
+    n_chunks = F.greatest(n_chunks, F.lit(1))
+    chunks = tokens_df.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "tokens",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id").cast("long") * chunk_len
+    length = F.least(
+        F.lit(chunk_len + w - 1), F.col("n_tok").cast("long") - start
+    )
+    return chunks.select(
+        "doc_id",
+        "source",
+        start.alias("chunk_off"),
+        F.slice(F.col("tokens"), (start + 1).cast("int"), length.cast("int")).alias("tokens"),
+    )
+
+
+def window_stats_chunked(tokens_df: DataFrame, w: int, chunk_len: int = 4096,
+                         num_partitions: int | None = None) -> DataFrame:
+    """window_stats over offset-range chunks: identical per-window values
+    (bit-exact on integer data — every sliding sum is an exact int64
+    regardless of where the series is cut), one row per (doc, chunk)."""
+    chunked = chunk_tokens(tokens_df, w, chunk_len)
+    if num_partitions:
+        chunked = chunked.repartition(
+            num_partitions,
+            F.pmod(F.xxhash64("doc_id", "chunk_off"), F.lit(num_partitions)),
+        )
+    return window_stats(chunked, w)
 
 
 def gap_fill(rollup: DataFrame) -> DataFrame:

@@ -153,3 +153,32 @@ def test_parallelism_invariance(spark, tokens):
     assert len(a) == len(b)
     for ra, rb in zip(a, b):
         assert ra == rb
+
+
+def test_chunked_window_stats_bitexact(spark, tokens):
+    """Offset-range chunking (w-1 overlap, mirroring src/mass.cpp:168-192)
+    must reproduce the unchunked per-window series bit-for-bit and cover
+    every offset exactly once."""
+    from matrixprofiler_spark.operators.rollup import window_stats_chunked
+
+    W = 64
+    whole = {
+        r.doc_id: r
+        for r in window_stats(tokens, W).filter(F.col("n_windows") > 0).collect()
+    }
+    chunked = window_stats_chunked(tokens, W, chunk_len=500).collect()
+    by_doc: dict = {}
+    for r in chunked:
+        if r.n_windows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(whole)
+    from matrixprofiler_spark.codecs import dod_decode, gorilla_decode
+
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: dod_decode(bytes(r.offsets_blob))[0])
+        offs = np.concatenate([dod_decode(bytes(r.offsets_blob)) for r in rows])
+        mm = np.concatenate([gorilla_decode(bytes(r.movmean_blob)) for r in rows])
+        w_offs = dod_decode(bytes(whole[doc_id].offsets_blob))
+        w_mm = gorilla_decode(bytes(whole[doc_id].movmean_blob))
+        np.testing.assert_array_equal(offs, w_offs)
+        np.testing.assert_array_equal(mm, w_mm)
