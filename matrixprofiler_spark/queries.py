@@ -871,6 +871,41 @@ def _mpxab_query(spark, sf_dir):
     )
 
 
+
+
+def q_events_rollup(spark, sf_dir):
+    """Event-time tumbling-window rollup over the events stream table —
+    the same tier semantics applied to wall-clock time: per (user_id, 1h
+    bucket): count / exact cents sum / min / max. Late-data handling in a
+    live pipeline would be watermarked Structured Streaming; the batch
+    semantics here are identical."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.withColumn("bucket", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -907,6 +942,7 @@ def queries() -> dict:
         "binary_split": q_binary_split,
         "normalize_params": q_normalize_params,
         "ed_corr_roundtrip": q_ed_corr,
+        "events_rollup_1h": q_events_rollup,
     }
     return q
 
@@ -934,4 +970,5 @@ def oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "normalize_params": SQL_NORMALIZE_PARAMS,
         "ed_corr_roundtrip": SQL_ED_CORR,
+        "events_rollup_1h": SQL_EVENTS_ROLLUP,
     }
