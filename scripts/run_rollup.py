@@ -63,9 +63,9 @@ def main() -> None:
 
     print(json.dumps({
         "groups_processed_this_run": processed,
-        "elapsed_sec": round(time.time() - t0, 3),
+        "run_elapsed_sec": round(time.time() - t0, 3),
         "window_points": int(window_points),
-        **metrics,
+        "cumulative": metrics,
     }))
     spark.stop()
 
