@@ -25,24 +25,33 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 RUNNER = r"""
-import json, sys, time
+import json, os, subprocess, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession, functions as F
 from matrixprofiler_spark.operators.rollup import tier_rollup, window_stats, gap_fill, with_derived_stats
 from matrixprofiler_spark.sources.tokens import ensure_synth_tokens
 
 cpus = int(sys.argv[1]); parts = int(sys.argv[2]); n_docs = int(sys.argv[3])
-spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+# N executors x 4 cores each: a faithful proxy for "N vs 4N executors" —
+# each executor is its own JVM + python workers, like a real cluster node.
+exec_cores = 4 if cpus >= 4 else 2
+if cpus == 8 and os.environ.get("EXEC_CORES") == "2":
+    exec_cores = 2
+n_exec = max(1, cpus // exec_cores)
+os.makedirs({repo!r} + "/dist", exist_ok=True)
+subprocess.run(["zip", "-qr", {repo!r} + "/dist/mps.zip", "matrixprofiler_spark",
+                "-x", "*__pycache__*"], cwd={repo!r}, check=True)
+spark = (SparkSession.builder.master(f"local-cluster[{{n_exec}},{{exec_cores}},6144]")
     .config("spark.sql.shuffle.partitions", str(parts))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.files.maxPartitionBytes", "8m")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
-    .config("spark.driver.memory", "48g")
+    .config("spark.driver.memory", "8g")
+    .config("spark.executor.memory", "6g")
     .config("spark.local.dir", "/dev/shm/spark-local")
-    .config("spark.driver.extraJavaOptions",
-            "-XX:+UseG1GC -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.addPyFile({repo!r} + "/dist/mps.zip")
 tokens = ensure_synth_tokens(spark, n_docs, {repo!r} + f"/data/tokens_scaling_{{n_docs}}", seed=42)
 tokens.count()  # warm the input cache path (I/O excluded from scaling meas.)
 
@@ -60,8 +69,8 @@ window_points = ws.agg(F.sum("n_windows")).collect()[0][0] or 0
 elapsed = time.time() - t0
 
 points = rollup_points * 5 + filled_points * 5 + window_points * 4
-print(json.dumps({{"cpus": cpus, "elapsed": elapsed, "points": int(points),
-                   "pts_per_sec": points / elapsed}}))
+print(json.dumps({{"cpus": cpus, "executors": n_exec, "elapsed": elapsed,
+                   "points": int(points), "pts_per_sec": points / elapsed}}))
 spark.stop()
 """
 
