@@ -54,6 +54,11 @@ spark.sparkContext.setLogLevel("ERROR")
 spark.sparkContext.addPyFile({repo!r} + "/dist/mps.zip")
 tokens = ensure_synth_tokens(spark, n_docs, {repo!r} + f"/data/tokens_scaling_{{n_docs}}", seed=42)
 tokens.count()  # warm the input cache path (I/O excluded from scaling meas.)
+# warm python workers + kernel imports + Arrow/JIT paths (process-pool
+# warm-up is standard benchmarking practice; workers are reused)
+from matrixprofiler_spark.operators.rollup import finest_rollup as _fr, spine_from_tokens
+_fr(tokens.limit(16)).count()
+window_stats(tokens.limit(16), w=128).count()
 
 # the cached parquet is already uniformly laid out in small files, so the
 # scan itself provides balanced partitions — no salted repartition needed
@@ -63,7 +68,7 @@ rolled = with_derived_stats(tier_rollup(tokens, persist=True))
 rollup_points = rolled.count()
 m1 = rolled.filter(F.col("tier") == "1m")
 holey = m1.filter(F.pmod(F.xxhash64("doc_id") + F.col("bucket"), F.lit(20)) != 0)
-filled_points = gap_fill(holey).count()
+filled_points = gap_fill(holey, spine=spine_from_tokens(tokens, "1m")).count()
 ws = window_stats(tokens, w=128)
 window_points = ws.agg(F.sum("n_windows")).collect()[0][0] or 0
 elapsed = time.time() - t0

@@ -280,21 +280,35 @@ def window_stats_chunked(tokens_df: DataFrame, w: int, chunk_len: int = 4096,
     return window_stats(chunked, w)
 
 
-def gap_fill(rollup: DataFrame) -> DataFrame:
+def spine_from_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
+    """Dense bucket spine derived directly from n_tok — a pure projection
+    (sequence + explode), no aggregation shuffle."""
+    bs = TIER_SIZES[tier]
+    max_bucket = (F.ceil(F.col("n_tok") / bs) - 1).cast("long")
+    return tokens_df.select(
+        "doc_id", "source", F.lit(tier).alias("tier"),
+        F.explode(F.sequence(F.lit(0).cast("long"), max_bucket)).alias("bucket"),
+    )
+
+
+def gap_fill(rollup: DataFrame, spine: DataFrame | None = None) -> DataFrame:
     """Per-doc offset-spine gap fill: build the dense bucket spine
     [0, max_bucket] per (doc_id, tier) with ``F.sequence`` + explode, left
     range-join the observed buckets onto it, and flag filled points.
 
     Equi-join on (doc_id, tier, bucket) — Catalyst picks sort-merge or
-    broadcast by size; the spine is generated, never shuffled raw."""
-    spine = (
-        rollup.groupBy("doc_id", "source", "tier")
-        .agg(F.max("bucket").alias("max_bucket"))
-        .select(
-            "doc_id", "source", "tier",
-            F.explode(F.sequence(F.lit(0).cast("long"), F.col("max_bucket"))).alias("bucket"),
+    broadcast by size; the spine is generated, never shuffled raw. Pass a
+    precomputed ``spine`` (e.g. spine_from_tokens) to skip the max-bucket
+    aggregation when doc lengths are already known."""
+    if spine is None:
+        spine = (
+            rollup.groupBy("doc_id", "source", "tier")
+            .agg(F.max("bucket").alias("max_bucket"))
+            .select(
+                "doc_id", "source", "tier",
+                F.explode(F.sequence(F.lit(0).cast("long"), F.col("max_bucket"))).alias("bucket"),
+            )
         )
-    )
     filled = (
         spine.join(rollup, ["doc_id", "source", "tier", "bucket"], "left")
         .withColumn("filled", F.col("cnt").isNull())
