@@ -315,3 +315,48 @@ def gap_fill(rollup: DataFrame, spine: DataFrame | None = None) -> DataFrame:
         .fillna({"cnt": 0, "sum_v": 0, "sumsq": 0})
     )
     return filled
+
+
+TIER_BLOBS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("tier", T.StringType(), False),
+        T.StructField("n_buckets", T.IntegerType(), False),
+        T.StructField("buckets_blob", T.BinaryType(), False),
+        T.StructField("mean_blob", T.BinaryType(), False),
+        T.StructField("min_blob", T.BinaryType(), False),
+        T.StructField("max_blob", T.BinaryType(), False),
+        T.StructField("cnt_blob", T.BinaryType(), False),
+    ]
+)
+
+
+def tier_blobs(rollup: DataFrame) -> DataFrame:
+    """Pack each (doc, tier)'s rolled-up point series into binary columns:
+    delta-of-delta bucket ids + Gorilla-XOR mean/min/max/cnt series — the
+    north star's compressed retention representation. One applyInPandas
+    group per (doc, tier); decode(encode(x)) == x is codec-tested."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket")
+        buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+        cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+        mean = pdf["sum_v"].to_numpy(dtype=np.int64) / cnt
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "source": [pdf["source"].iloc[0]],
+                "tier": [pdf["tier"].iloc[0]],
+                "n_buckets": [len(pdf)],
+                "buckets_blob": [dod_encode(buckets)],
+                "mean_blob": [gorilla_encode(mean)],
+                "min_blob": [gorilla_encode(pdf["min_v"].to_numpy(dtype=np.float64))],
+                "max_blob": [gorilla_encode(pdf["max_v"].to_numpy(dtype=np.float64))],
+                "cnt_blob": [dod_encode(cnt)],
+            }
+        )
+
+    return rollup.groupBy("doc_id", "source", "tier").applyInPandas(
+        pack, schema=TIER_BLOBS_SCHEMA
+    )

@@ -906,6 +906,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+
+
+def q_tier_blobs(spark, sf_dir):
+    """Gorilla/DoD-compressed tier series per (doc, tier) — rows-only
+    (binary columns; codec round-trip is unit-tested)."""
+    from .operators.rollup import tier_blobs, tier_rollup
+
+    roll = tier_rollup(_tok(spark, sf_dir)).filter(F.col("tier") == "1m")
+    return tier_blobs(roll).select("doc_id", "tier", "n_buckets")
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal: image decode (deterministic stub) -> 8x8 resize ->
+    perceptual hash + luminance stats — rows-only."""
+    from .operators.multimodal import image_features, synth_media_df
+
+    return image_features(synth_media_df(spark, 64)).select(
+        "media_id", "mean_lum", "std_lum", "phash64"
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """Multimodal: audio decode (stub) -> frame-sampled RMS — rows-only."""
+    from .operators.multimodal import audio_features, synth_media_df
+
+    return audio_features(synth_media_df(spark, 64)).select(
+        "media_id", "duration_sec", "rms", "zero_crossing_rate"
+    )
+
+
+def q_srp_buckets(spark, sf_dir):
+    """ANN scale path: sign-random-projection LSH bucket ids — rows-only."""
+    from .operators.similarity import srp_bucketed_candidates
+
+    return srp_bucketed_candidates(_emb(spark, sf_dir), n_planes=8)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -943,6 +980,10 @@ def queries() -> dict:
         "normalize_params": q_normalize_params,
         "ed_corr_roundtrip": q_ed_corr,
         "events_rollup_1h": q_events_rollup,
+        "tier_blobs": q_tier_blobs,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "ann_srp_buckets": q_srp_buckets,
     }
     return q
 

@@ -182,3 +182,26 @@ def test_chunked_window_stats_bitexact(spark, tokens):
         w_mm = gorilla_decode(bytes(whole[doc_id].movmean_blob))
         np.testing.assert_array_equal(offs, w_offs)
         np.testing.assert_array_equal(mm, w_mm)
+
+
+def test_tier_blobs_roundtrip(spark, tokens):
+    """Compressed tier series decode back to the exact rolled-up points."""
+    from matrixprofiler_spark.operators.rollup import tier_blobs
+
+    roll = tier_rollup(tokens).filter(F.col("tier") == "1m")
+    blobs = {r.doc_id: r for r in tier_blobs(roll).collect()}
+    raw = roll.orderBy("doc_id", "bucket").collect()
+    series: dict = {}
+    for r in raw:
+        series.setdefault(r.doc_id, []).append(r)
+    assert set(blobs) == set(series)
+    for doc_id, rows in series.items():
+        b = blobs[doc_id]
+        assert b.n_buckets == len(rows)
+        np.testing.assert_array_equal(
+            dod_decode(bytes(b.buckets_blob)), [r.bucket for r in rows])
+        np.testing.assert_array_equal(
+            gorilla_decode(bytes(b.mean_blob)),
+            np.array([r.sum_v for r in rows]) / np.array([r.cnt for r in rows]))
+        np.testing.assert_array_equal(
+            dod_decode(bytes(b.cnt_blob)), [r.cnt for r in rows])
