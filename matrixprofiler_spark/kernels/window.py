@@ -39,11 +39,11 @@ def _as_f64(x) -> np.ndarray:
 
 
 def _is_integral(x: np.ndarray) -> bool:
-    """True if every value is an exactly-representable integer |v| < 2^31.
-
-    2^31 bounds guarantee window sums (n <= 2^22) and squared sums stay
-    below 2^53, keeping all intermediate sums exact.
-    """
+    """True if every value is an exactly-representable integer AND the
+    whole-series cumulative sum stays below 2^53 — the condition under
+    which int64 arithmetic is exact and therefore bit-identical to the
+    Ogita compensated loop (see module docstring). Covers both raw tokens
+    and their squares (e.g. 50257^2 * 16384 ~ 4e13 < 2^53)."""
     if x.dtype.kind in "iu" and x.dtype.itemsize <= 4:
         return True
     if x.dtype.kind != "f":
@@ -52,8 +52,10 @@ def _is_integral(x: np.ndarray) -> bool:
         return True
     if not np.isfinite(x).all():
         return False
-    bounded = np.abs(x) < 2147483648.0
-    return bool(bounded.all() and (x == np.floor(x)).all())
+    max_abs = float(np.max(np.abs(x))) if x.size else 0.0
+    if max_abs * x.size >= 9007199254740992.0:  # 2^53
+        return False
+    return bool((x == np.floor(x)).all())
 
 
 def _seqsum(a: np.ndarray) -> float:
