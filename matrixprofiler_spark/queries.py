@@ -943,6 +943,86 @@ def q_srp_buckets(spark, sf_dir):
     return srp_bucketed_candidates(_emb(spark, sf_dir), n_planes=8)
 
 
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary with exact-cents arithmetic
+    (broadcastless single groupBy; doubles derived from exact int sums)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    disc_price = price * (F.lit(100) - disc)  # cents * percent-units
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty_c"),
+            F.sum(price).alias("sum_price_c"),
+            F.sum(disc_price).alias("sum_disc_price_cc"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty_c") / (F.col("count_order") * 100))
+        .withColumn("avg_price", F.col("sum_price_c") / (F.col("count_order") * 100))
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS sum_disc_price_cc,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_qty,
+       SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_top_customers(spark, sf_dir):
+    """Revenue per customer via orders join (small dim broadcast), top 25 by
+    exact cents with deterministic tie-break."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        orders.withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("revenue_c"), F.count("*").alias("n_orders"))
+    )
+    joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("o_custkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select(
+            F.col("o_custkey").alias("custkey"), "c_name", "c_mktsegment",
+            "revenue_c", "n_orders", F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+SQL_TPCH_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_c,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT r.o_custkey AS custkey, c.c_name, c.c_mktsegment, r.revenue_c, r.n_orders,
+         ROW_NUMBER() OVER (ORDER BY r.revenue_c DESC, r.o_custkey ASC) AS rank
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+)
+SELECT custkey, c_name, c_mktsegment, revenue_c, n_orders, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 25
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -984,6 +1064,8 @@ def queries() -> dict:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "ann_srp_buckets": q_srp_buckets,
+        "tpch_q1_cents": q_tpch_q1,
+        "tpch_top_customers": q_tpch_top_customers,
     }
     return q
 
@@ -1012,4 +1094,6 @@ def oracle_sql() -> dict:
         "normalize_params": SQL_NORMALIZE_PARAMS,
         "ed_corr_roundtrip": SQL_ED_CORR,
         "events_rollup_1h": SQL_EVENTS_ROLLUP,
+        "tpch_q1_cents": SQL_TPCH_Q1,
+        "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
     }
