@@ -106,6 +106,17 @@ def main() -> None:
     extra["tokens_total"] = int(n_tokens_total)
     extra["tokens_per_sec"] = n_tokens_total / pipeline_sec if pipeline_sec else 0.0
 
+    # ---- distributed matrix profile (MPX per doc, compressed) ----
+    from matrixprofiler_spark.operators.mp_ops import matrix_profile_blobs
+
+    t0 = time.time()
+    mp_docs = matrix_profile_blobs(
+        tokens.filter(F.col("n_tok") <= 4096), w=128, num_partitions=parts
+    )
+    mp_points = mp_docs.agg(F.sum("profile_len")).collect()[0][0] or 0
+    times["matrix_profile_mpx_w128"] = time.time() - t0
+    extra["mp_points"] = int(mp_points)
+
     # ---- operator queries over the driver tables ----
     reg = qreg()
     for name in (

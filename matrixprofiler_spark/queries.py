@@ -1023,6 +1023,20 @@ FROM rk WHERE rank <= 25
 """
 
 
+
+
+def q_mp_blobs(spark, sf_dir):
+    """Distributed per-doc MPX matrix profile, Gorilla/DoD-compressed —
+    rows-only (binary columns; decode parity is unit-tested, and the
+    embedded golden doc's profile index matches the reference snapshot)."""
+    from .operators.mp_ops import matrix_profile_blobs
+
+    toks = synth_tokens_df(spark, 24, seed=42)
+    return matrix_profile_blobs(toks, 128, max_tokens=4096).select(
+        "doc_id", "w", "n_tok", "profile_len", "algo"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1066,6 +1080,7 @@ def queries() -> dict:
         "ann_srp_buckets": q_srp_buckets,
         "tpch_q1_cents": q_tpch_q1,
         "tpch_top_customers": q_tpch_top_customers,
+        "matrix_profile_blobs": q_mp_blobs,
     }
     return q
 

