@@ -1,0 +1,79 @@
+"""Structured Streaming tests: the streaming rollup must equal the batch
+rollup row-for-row, resume from its checkpoint, and the watermarked
+event-time aggregation must window correctly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from matrixprofiler_spark.operators.rollup import finest_rollup
+from matrixprofiler_spark.sources.tokens import synth_tokens_df
+from matrixprofiler_spark.streaming.stream_rollup import (
+    stream_events_rollup,
+    stream_tokens_rollup,
+)
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    tokens = synth_tokens_df(spark, 20, seed=42)
+    tokens.write.parquet(inp)
+
+    q = stream_tokens_rollup(spark, inp, sink, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).orderBy("doc_id", "bucket").collect()
+    want = (
+        finest_rollup(spark.read.parquet(inp))
+        .orderBy("doc_id", "bucket")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.asDict() == b.asDict()
+
+    # incremental catch-up: add more docs, restart from checkpoint ->
+    # only the new docs are appended
+    more = synth_tokens_df(spark, 30, seed=42, include_golden=False).filter(
+        F.col("doc_id") > "doc_00000019"
+    )
+    more.write.mode("append").parquet(inp)
+    q2 = stream_tokens_rollup(spark, inp, sink, ckpt)
+    q2.awaitTermination(120)
+    total = spark.read.parquet(sink).count()
+    expect = finest_rollup(spark.read.parquet(inp)).count()
+    assert total == expect
+
+
+def test_streaming_events_watermark(spark, tmp_path):
+    inp = str(tmp_path / "ev_in")
+    sink = str(tmp_path / "ev_sink")
+    ckpt = str(tmp_path / "ev_ckpt")
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 7, "click", 1.25, "{}"),
+            (2, "2024-01-01 00:40:00", 7, "click", 2.50, "{}"),
+            (3, "2024-01-01 01:10:00", 7, "click", 4.00, "{}"),
+            (4, "2024-01-01 00:20:00", 9, "view", 0.75, "{}"),
+            # flush event: advances the watermark past every asserted
+            # window's end so append mode emits them (its own window stays
+            # open and is intentionally not asserted)
+            (5, "2024-01-01 05:00:00", 1, "tick", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.parquet(inp)
+
+    q = stream_events_rollup(spark, inp, sink, ckpt)
+    q.awaitTermination(120)
+
+    rows = {(r.user_id, str(r.window_start)): r for r in spark.read.parquet(sink).collect()}
+    r7 = rows[(7, "2024-01-01 00:00:00")]
+    assert r7.cnt == 2 and r7.sum_cents == 375
+    r7b = rows[(7, "2024-01-01 01:00:00")]
+    assert r7b.cnt == 1 and r7b.sum_cents == 400
+    assert rows[(9, "2024-01-01 00:00:00")].cnt == 1
