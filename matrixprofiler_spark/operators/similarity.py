@@ -136,3 +136,112 @@ def srp_bucketed_candidates(emb: DataFrame, n_planes: int = 8) -> DataFrame:
         )
         bucket = bucket.bitwiseOR(F.shiftleft(F.when(terms > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p))
     return qv.withColumn("bucket", bucket).select("vec_id", "bucket")
+
+
+def ivf_index(emb: DataFrame, n_lists: int = 16, iters: int = 3) -> tuple:
+    """IVF index: deterministic Lloyd's k-means over quantized vectors.
+
+    Centroid init = evenly-spaced vec_ids (deterministic); each iteration
+    is one distributed assignment (broadcast centroids, blocked numpy
+    argmax of cosine) + one groupBy mean update. Returns
+    (assignments DataFrame [vec_id, list_id], centroids ndarray)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qv = quantized(emb).persist()
+    n = qv.count()
+    ids = [r.vec_id for r in qv.select("vec_id").orderBy("vec_id")
+           .limit(n).collect()][:: max(1, n // n_lists)][:n_lists]
+    seed_rows = qv.filter(F.col("vec_id").isin(ids)).collect()
+    centroids = np.array([r.qv for r in sorted(seed_rows, key=lambda r: r.vec_id)],
+                         dtype=np.float64)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    sc = emb.sparkSession.sparkContext
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+    ])
+
+    for _ in range(iters):
+        bc = sc.broadcast(centroids)
+
+        def assign(batches):
+            C = bc.value
+            for b in batches:
+                if not len(b):
+                    continue
+                m = np.array([np.asarray(v, dtype=np.float64) for v in b["qv"]])
+                m = m / np.linalg.norm(m, axis=1, keepdims=True)
+                lists = (m @ C.T).argmax(axis=1).astype(np.int32)
+                yield pd.DataFrame({"vec_id": b["vec_id"].to_numpy(dtype=np.int64),
+                                    "list_id": lists})
+
+        assigned = qv.mapInPandas(assign, schema=schema)
+        # centroid update: mean of member vectors (distributed agg over
+        # exploded dims would shuffle; the corpus is collected per-list mean
+        # via a pandas grouped agg — lists are small at index-build time)
+        joined = assigned.join(qv, "vec_id")
+        pdf = joined.select("list_id", "qv").toPandas()
+        for lid, grp in pdf.groupby("list_id"):
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in grp["qv"]])
+            c = vecs.mean(axis=0)
+            nrm = np.linalg.norm(c)
+            if nrm > 0:
+                centroids[lid] = c / nrm
+    bc = sc.broadcast(centroids)
+
+    def assign_final(batches):
+        C = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in b["qv"]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            lists = (m @ C.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": b["vec_id"].to_numpy(dtype=np.int64),
+                                "list_id": lists})
+
+    return qv.mapInPandas(assign_final, schema=schema), centroids
+
+
+def ivf_topk(emb: DataFrame, n_lists: int = 16, nprobe: int = 4,
+             k: int = 1, num_queries: int = 20) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid lists
+    per query, brute-force exact cosine inside them. At 100 TB the
+    assignment table is bucketed by list_id so a probe is a partition-
+    pruned scan instead of a full-corpus pass."""
+    import numpy as np
+
+    assigned, centroids = ivf_index(emb, n_lists)
+    qv = quantized(emb)
+    queries = qv.filter(F.col("vec_id") < num_queries)
+    q_rows = queries.collect()
+    qm = np.array([r.qv for r in q_rows], dtype=np.float64)
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = np.argsort(-(qm_n @ centroids.T), axis=1)[:, :nprobe]
+    probe_pairs = [
+        (int(r.vec_id), int(l)) for r, ls in zip(q_rows, probes) for l in ls
+    ]
+    probe_df = emb.sparkSession.createDataFrame(
+        probe_pairs, "q_id long, list_id int"
+    )
+    cand = (
+        probe_df.join(assigned, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    qd = queries.select(F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"),
+                        F.col("norm2").alias("q_norm2"))
+    pairs = (
+        cand.join(qv, "vec_id").join(F.broadcast(qd), "q_id")
+        .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
+        .withColumn("cos", F.col("dot") / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("nn_id"), "rank", "cos")
+    )

@@ -1037,6 +1037,17 @@ def q_mp_blobs(spark, sf_dir):
     )
 
 
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-1 (probe 4 of 8 k-means lists) — rows-only
+    (approximate by design; recall vs brute force is unit-tested, and
+    nprobe == n_lists is tested equal to the exact result)."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), n_lists=8, nprobe=4, k=1, num_queries=20)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1081,6 +1092,7 @@ def queries() -> dict:
         "tpch_q1_cents": q_tpch_q1,
         "tpch_top_customers": q_tpch_top_customers,
         "matrix_profile_blobs": q_mp_blobs,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
     return q
 
