@@ -9,6 +9,6 @@ encode hot path.
 """
 
 from .dod import dod_decode, dod_encode
-from .gorilla import gorilla_decode, gorilla_encode
+from .gorilla import gorilla_decode, gorilla_encode, gorilla_encode_many
 
-__all__ = ["dod_decode", "dod_encode", "gorilla_decode", "gorilla_encode"]
+__all__ = ["dod_decode", "dod_encode", "gorilla_decode", "gorilla_encode", "gorilla_encode_many"]

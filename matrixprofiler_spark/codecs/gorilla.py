@@ -56,21 +56,41 @@ def _emit_bits(bitbuf: np.ndarray, offsets: np.ndarray, field: np.ndarray,
     """Write `width`-bit big-endian fields at per-value bit offsets.
 
     width may be a scalar int or per-value int array (variable width).
-    Loops over bit positions (<=64 iterations), vectorized over values."""
+    Fixed width: one vectorized pass per bit position. Variable width:
+    values are sorted by width descending so bit-position k only touches
+    the values that actually have a k-th bit — total work is proportional
+    to the total number of bits written, not values x max width."""
     if np.isscalar(width):
-        widths = np.full(field.shape, width, dtype=np.int64)
-    else:
-        widths = width
-    maxw = int(widths.max()) if widths.size else 0
-    for k in range(maxw):
-        sel = widths > k
         if mask is not None:
-            sel = sel & mask
-        if not sel.any():
-            continue
-        shift = (widths[sel] - 1 - k).astype(np.uint64)
-        bits = ((field[sel] >> shift) & np.uint64(1)).astype(np.uint8)
-        bitbuf[offsets[sel] + k] = bits
+            offsets = offsets[mask]
+            field = field[mask]
+        w = int(width)
+        for k in range(w):
+            shift = np.uint64(w - 1 - k)
+            bits = ((field >> shift) & np.uint64(1)).astype(np.uint8)
+            bitbuf[offsets + k] = bits
+        return
+
+    widths = np.asarray(width, dtype=np.int64)
+    if mask is not None:
+        offsets = offsets[mask]
+        field = field[mask]
+        widths = widths[mask]
+    if widths.size == 0:
+        return
+    order = np.argsort(-widths, kind="stable")
+    offsets = offsets[order]
+    field = field[order]
+    widths = widths[order]
+    neg_ws = -widths  # ascending
+    maxw = int(widths[0])
+    for k in range(maxw):
+        cnt = int(np.searchsorted(neg_ws, -k, side="left"))
+        if cnt == 0:
+            break
+        shift = (widths[:cnt] - 1 - k).astype(np.uint64)
+        bits = ((field[:cnt] >> shift) & np.uint64(1)).astype(np.uint8)
+        bitbuf[offsets[:cnt] + k] = bits
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:
@@ -158,3 +178,75 @@ def gorilla_decode(data: bytes) -> np.ndarray:
         prev = prev ^ (np.uint64(meaningful) << np.uint64(tz))
         out[i] = prev
     return out.view(np.float64)
+
+
+def gorilla_encode_many(arrays) -> list[bytes]:
+    """Encode MANY float64 series in one vectorized bit-assembly.
+
+    Produces byte-for-byte the same stream per series as
+    ``gorilla_encode`` (verified in tests), but amortizes the ~25 masked
+    vector passes over the whole batch instead of per series — the encode
+    hot path of the per-doc window-stats kernel.
+    """
+    arrays = [np.ascontiguousarray(a, dtype=np.float64) for a in arrays]
+    sizes = np.array([a.size for a in arrays], dtype=np.int64)
+    n_series = len(arrays)
+    if n_series == 0:
+        return []
+    total = int(sizes.sum())
+    if total == 0:
+        return [np.uint32(0).tobytes() for _ in arrays]
+
+    v = np.concatenate(arrays).view(np.uint64)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    is_first = np.zeros(total, dtype=bool)
+    is_first[starts[sizes > 0]] = True
+
+    xor = np.zeros(total, dtype=np.uint64)
+    xor[1:] = v[1:] ^ v[:-1]
+    xor[is_first] = 0  # unused for first elements
+
+    zero = (xor == np.uint64(0)) & ~is_first
+    lz = np.minimum(_clz64(xor), 31)
+    tz = _ctz64(xor)
+    siglen = np.where(zero | is_first, 0, 64 - lz - tz).astype(np.int64)
+
+    nbits = np.where(is_first, 64, np.where(zero, 1, 13 + siglen))
+    # per-series bit length, padded to a byte boundary so series streams
+    # can be sliced out of the shared buffer independently
+    series_bits = np.add.reduceat(nbits, starts) if total else np.zeros(0)
+    series_bits = np.asarray(series_bits, dtype=np.int64)
+    padded_bits = ((series_bits + 7) // 8) * 8
+    series_bit_starts = np.concatenate(([0], np.cumsum(padded_bits)[:-1]))
+
+    # bit offset of each value: series start + within-series cumsum
+    within = np.cumsum(nbits) - nbits
+    within = within - np.repeat(within[starts], sizes)
+    offsets = np.repeat(series_bit_starts, sizes) + within
+
+    bitbuf = np.zeros(int(padded_bits.sum()), dtype=np.uint8)
+
+    # first values: raw 64 bits
+    _emit_bits(bitbuf, offsets[is_first], v[is_first], 64)
+    # non-repeat, non-first: '11' + 5b lz + 6b (siglen-1) + meaningful bits
+    nz = ~zero & ~is_first
+    bitbuf[offsets[nz]] = 1
+    bitbuf[offsets[nz] + 1] = 1
+    _emit_bits(bitbuf, offsets[nz] + 2, lz[nz].astype(np.uint64), 5)
+    _emit_bits(bitbuf, offsets[nz] + 7, (siglen[nz] - 1).clip(0).astype(np.uint64), 6)
+    meaningful = np.zeros(total, dtype=np.uint64)
+    meaningful[nz] = xor[nz] >> tz[nz].astype(np.uint64)
+    _emit_bits(bitbuf, offsets[nz] + 13, meaningful[nz], siglen[nz])
+    # repeats are control bit '0' (already zeroed)
+
+    packed = np.packbits(bitbuf)
+    out = []
+    byte_starts = series_bit_starts // 8
+    byte_lens = padded_bits // 8
+    for i in range(n_series):
+        if sizes[i] == 0:
+            out.append(np.uint32(0).tobytes())
+            continue
+        body = packed[byte_starts[i] : byte_starts[i] + byte_lens[i]].tobytes()
+        out.append(np.uint32(sizes[i]).tobytes() + body)
+    return out

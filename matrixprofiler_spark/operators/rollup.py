@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..codecs import dod_encode, gorilla_encode
+from ..codecs import dod_encode, gorilla_encode, gorilla_encode_many
 from ..kernels.window import movmax, movmean, movmin, movstd
 
 TIER_SIZES = {"1m": 60, "1h": 3600, "1d": 86400}
@@ -195,6 +195,7 @@ def window_stats(tokens_df: DataFrame, w: int, num_partitions: int | None = None
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
+            series = []  # (row_index, [mm, ms, mi, ma]) for batch encode
             base_offs = b["chunk_off"] if "chunk_off" in b.columns else [0] * len(b)
             for doc_id, toks, src, base in zip(
                 b["doc_id"], b["tokens"], b["source"], base_offs
@@ -202,24 +203,28 @@ def window_stats(tokens_df: DataFrame, w: int, num_partitions: int | None = None
                 x = np.asarray(toks, dtype=np.int32)
                 n = int(x.size)
                 if n < w:
-                    rows.append((doc_id, src, w, n, 0, None, None, None, None,
-                                 None, list(map(int, x)) if keep_tokens else None))
+                    rows.append([doc_id, src, w, n, 0, None, None, None, None,
+                                 None, list(map(int, x)) if keep_tokens else None])
                     continue
                 xf = x.astype(np.float64)
-                mm = movmean(xf, w, "ogita")
-                ms = movstd(xf, w)
-                mi = movmin(xf, w)
-                ma = movmax(xf, w)
+                series.append(
+                    (len(rows), [movmean(xf, w, "ogita"), movstd(xf, w),
+                                 movmin(xf, w), movmax(xf, w)])
+                )
                 offs = int(base) + np.arange(n - w + 1, dtype=np.int64)
                 rows.append(
-                    (doc_id, src, w, n, int(n - w + 1),
-                     gorilla_encode(mm), gorilla_encode(ms),
-                     gorilla_encode(mi), gorilla_encode(ma),
+                    [doc_id, src, w, n, int(n - w + 1),
+                     None, None, None, None,
                      dod_encode(offs),
-                     list(map(int, x)) if keep_tokens else None)
+                     list(map(int, x)) if keep_tokens else None]
                 )
+            # one vectorized Gorilla assembly for all stat series of the batch
+            flat = [s for _, group in series for s in group]
+            blobs = gorilla_encode_many(flat)
+            for j, (ri, _) in enumerate(series):
+                rows[ri][5:9] = blobs[4 * j : 4 * j + 4]
             yield pd.DataFrame(
-                rows,
+                (tuple(r) for r in rows),
                 columns=[f.name for f in WINDOW_STATS_SCHEMA.fields],
             )
 
