@@ -85,3 +85,46 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
     fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return docs.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fp"))
+
+
+def lang_id_trigram(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Char-trigram language ID: per-language profiles = the ``top_n`` most
+    frequent trigrams of that language's labeled docs (trained on the table
+    itself); a doc is classified to the language whose profile its trigram
+    multiset hits most (ties -> lexicographically smallest language).
+
+    Entirely DataFrame ops: trigram explode -> profile ranking (window) ->
+    broadcast membership join -> per-doc argmax. Deterministic and exact
+    (integer hit counts)."""
+    from pyspark.sql.window import Window
+
+    grams = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tri"),
+    )
+    profile = (
+        grams.groupBy("lang", "tri")
+        .count()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("count").desc(), F.col("tri").asc())
+            ),
+        )
+        .filter(F.col("rn") <= top_n)
+        .select(F.col("lang").alias("profile_lang"), "tri")
+    )
+    hits = (
+        grams.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "profile_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("profile_lang").asc())
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("profile_lang").alias("lang_pred"), "hits")
+    )

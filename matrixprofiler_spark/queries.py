@@ -1048,6 +1048,40 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), n_lists=8, nprobe=4, k=1, num_queries=20)
 
 
+
+
+def q_lang_id_trigram(spark, sf_dir):
+    from .functions.text import lang_id_trigram
+
+    return lang_id_trigram(_docs(spark, sf_dir))
+
+
+SQL_LANG_ID_TRIGRAM = """
+WITH grams AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         UNNEST([substr(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS tri
+  FROM documents
+),
+prof AS (
+  SELECT lang AS profile_lang, tri,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri ASC) AS rn
+  FROM grams GROUP BY lang, tri
+),
+profile AS (SELECT profile_lang, tri FROM prof WHERE rn <= 50),
+hits AS (
+  SELECT g.doc_id, p.profile_lang, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM grams g JOIN profile p ON g.tri = p.tri
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, profile_lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, profile_lang ASC) AS rn
+  FROM hits
+)
+SELECT doc_id, profile_lang AS lang_pred, hits FROM best WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1093,6 +1127,7 @@ def queries() -> dict:
         "tpch_top_customers": q_tpch_top_customers,
         "matrix_profile_blobs": q_mp_blobs,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "lang_id_trigram": q_lang_id_trigram,
     }
     return q
 
@@ -1123,4 +1158,5 @@ def oracle_sql() -> dict:
         "events_rollup_1h": SQL_EVENTS_ROLLUP,
         "tpch_q1_cents": SQL_TPCH_Q1,
         "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
+        "lang_id_trigram": SQL_LANG_ID_TRIGRAM,
     }
