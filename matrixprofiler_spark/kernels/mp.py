@@ -255,7 +255,8 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
         terms[1::2] = t2
         terms[0] = cc0 + t1[0]
         cc_path = np.cumsum(terms)[1::2]  # cc after each offset's two adds
-        c_cmp = (cc_path * sig[0:off_max]) * sig[diag : diag + off_max]
+        with np.errstate(invalid="ignore"):
+            c_cmp = (cc_path * sig[0:off_max]) * sig[diag : diag + off_max]
 
         # off_diag (cand2) writes land strictly before the offset (cand1)
         # comparison for any shared position (step k-diag < step k), so two
@@ -418,8 +419,9 @@ def scrimp(data, window_size: int, exclusion_zone: float = 0.5,
 
             idx_nn = int(pi[i])
             idx_diff = idx_nn - i
-            dot[i] = ((w - (mp[i] / 2)) * dsd[i] * dsd[idx_nn]
-                      + w * dmean[i] * dmean[idx_nn])
+            with np.errstate(invalid="ignore"):
+                dot[i] = ((w - (mp[i] / 2)) * dsd[i] * dsd[idx_nn]
+                          + w * dmean[i] * dmean[idx_nn])
 
             endidx = min(psize - 1, i + step - 1)
             endidx = min(endidx, psize - idx_diff - 1)
@@ -430,8 +432,9 @@ def scrimp(data, window_size: int, exclusion_zone: float = 0.5,
                 dot[i + 1 : endidx + 1] = np.cumsum(prod_fwd) + dot[i]
                 sl1 = slice(i + 1, endidx + 1)
                 sl2 = slice(idx_nn + 1, endidx + idx_diff + 1)
-                refine[sl1] = 2 * (w - (dot[sl1] - dmean[sl1] * dmean[sl2] * w)
-                                   / (dsd[sl1] * dsd[sl2]))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    refine[sl1] = 2 * (w - (dot[sl1] - dmean[sl1] * dmean[sl2] * w)
+                                       / (dsd[sl1] * dsd[sl2]))
 
             beginidx = 0 if (i + 1) <= step else i + 1 - step
             if idx_diff < 0:
@@ -444,8 +447,9 @@ def scrimp(data, window_size: int, exclusion_zone: float = 0.5,
                 dot[rev1] = np.cumsum(prod_rev) + dot[i]
                 sl2f = slice(beginidx, i)
                 sl3 = slice(beginidx + idx_diff, idx_nn)
-                refine[sl2f] = 2 * (w - (dot[sl2f] - dmean[sl2f] * dmean[sl3] * w)
-                                    / (dsd[sl2f] * dsd[sl3]))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    refine[sl2f] = 2 * (w - (dot[sl2f] - dmean[sl2f] * dmean[sl3] * w)
+                                        / (dsd[sl2f] * dsd[sl3]))
 
             refine[refine < 0] = 0
 
@@ -467,8 +471,9 @@ def scrimp(data, window_size: int, exclusion_zone: float = 0.5,
                                                  - xd[0 : psize - i - 1] * xd[i : psize - 1])
                                        + curlastz[i])
         curdist = np.full(psize, np.nan, dtype=_F64)
-        curdist[i:psize] = 2 * (w - (curlastz[i:psize] - w * dmean[i:psize] * dmean[0 : psize - i])
-                                / (dsd[i:psize] * dsd[0 : psize - i]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            curdist[i:psize] = 2 * (w - (curlastz[i:psize] - w * dmean[i:psize] * dmean[0 : psize - i])
+                                    / (dsd[i:psize] * dsd[0 : psize - i]))
         curdist[i:psize][curdist[i:psize] < 0] = 0
 
         dist1 = np.full(psize, np.inf, dtype=_F64)
