@@ -1082,6 +1082,85 @@ SELECT doc_id, profile_lang AS lang_pred, hits FROM best WHERE rn = 1
 """
 
 
+
+
+def q_rollup_by_source(spark, sf_dir):
+    """Corpus-level rollup: exact per-(source, bucket) stats across docs —
+    the fleet-wide view of the same tier cascade (one extra exact-int
+    groupBy over the finest tier)."""
+    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
+    return (
+        m1.groupBy("source", "bucket")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("sumsq").alias("sumsq"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+SQL_ROLLUP_BY_SOURCE = f"""
+WITH {TOK_CTE}
+SELECT source, CAST((pos - 1) // {BUCKET} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(tok) AS BIGINT) AS sum_v,
+       CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+       CAST(MIN(tok) AS INT) AS min_v,
+       CAST(MAX(tok) AS INT) AS max_v,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pos GROUP BY 1, 2
+"""
+
+
+def q_motifs_discords(spark, sf_dir):
+    """Top-level motif/discord extraction: per doc, the window with the
+    SMALLEST matrix-profile value (motif: best-repeated pattern) and the
+    LARGEST (discord: most anomalous), deterministic tie-breaks."""
+    from pyspark.sql.window import Window
+
+    mp = matrix_profile_exact(_tok(spark, sf_dir), W, ez=0.5)
+    w_min = Window.partitionBy("doc_id").orderBy(F.col("mp").asc(), F.col("off").asc())
+    w_max = Window.partitionBy("doc_id").orderBy(F.col("mp").desc(), F.col("off").asc())
+    motifs = (
+        mp.withColumn("rn", F.row_number().over(w_min)).filter(F.col("rn") == 1)
+        .select("doc_id", F.col("off").alias("motif_off"),
+                F.col("nn_off").alias("motif_nn"), F.col("mp").alias("motif_mp"))
+    )
+    discords = (
+        mp.withColumn("rn", F.row_number().over(w_max)).filter(F.col("rn") == 1)
+        .select("doc_id", F.col("off").alias("discord_off"), F.col("mp").alias("discord_mp"))
+    )
+    return motifs.join(discords, "doc_id")
+
+
+SQL_MOTIFS_DISCORDS = (
+    SQL_MATRIX_PROFILE_W8.rstrip().replace(
+        """SELECT doc_id, CAST(off AS INT) AS off, sqrt(d) AS mp, CAST(nn AS INT) AS nn_off
+FROM best WHERE rn = 1""",
+        """,
+mp AS (
+  SELECT doc_id, CAST(off AS INT) AS off, sqrt(d) AS mp, CAST(nn AS INT) AS nn_off
+  FROM best WHERE rn = 1
+),
+mo AS (
+  SELECT doc_id, off AS motif_off, nn_off AS motif_nn, mp AS motif_mp,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY mp ASC, off ASC) AS rn
+  FROM mp
+),
+di AS (
+  SELECT doc_id, off AS discord_off, mp AS discord_mp,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY mp DESC, off ASC) AS rn
+  FROM mp
+)
+SELECT m.doc_id, m.motif_off, m.motif_nn, m.motif_mp, d.discord_off, d.discord_mp
+FROM mo m JOIN di d ON m.doc_id = d.doc_id AND m.rn = 1 AND d.rn = 1""",
+    )
+)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1128,6 +1207,8 @@ def queries() -> dict:
         "matrix_profile_blobs": q_mp_blobs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id_trigram": q_lang_id_trigram,
+        "rollup_by_source": q_rollup_by_source,
+        "motifs_discords": q_motifs_discords,
     }
     return q
 
@@ -1159,4 +1240,6 @@ def oracle_sql() -> dict:
         "tpch_q1_cents": SQL_TPCH_Q1,
         "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
         "lang_id_trigram": SQL_LANG_ID_TRIGRAM,
+        "rollup_by_source": SQL_ROLLUP_BY_SOURCE,
+        "motifs_discords": SQL_MOTIFS_DISCORDS,
     }
