@@ -363,10 +363,17 @@ def mpxab(data, query, window_size: int, idxs: bool = True,
     return out
 
 
-def scrimp(data, window_size: int, exclusion_zone: float = 0.5,
+def scrimp(data, window_size: int, query=None, exclusion_zone: float = 0.5,
            pre_scrimp: float = 0.25) -> dict:
     """SCRIMP++ (src/scrimp.cpp:26-280): PRE-SCRIMP sampled anchors with
-    cumsum dot-product refinement, then full diagonal SCRIMP traversal."""
+    cumsum dot-product refinement, then full diagonal SCRIMP traversal.
+
+    AB-join (query != None): the reference's scrimpab_rcpp
+    (src/scrimp.cpp:461-638) computes the same AB/BA-pass result as STOMP's
+    AB join (the cross-algorithm equivalence its own test suite asserts);
+    we delegate to the STOMP AB kernel, cross-checked vs MPXAB in tests."""
+    if query is not None:
+        return stomp(data, window_size, query=query, exclusion_zone=exclusion_zone)
     x = _as_f64(data)
     w = int(window_size)
     ez = float(exclusion_zone)

@@ -160,3 +160,28 @@ def test_left_right_profiles(series):
     ok_r = rpi >= 0
     assert (lpi[ok_l] <= pos[ok_l]).all()
     assert (rpi[ok_r] >= pos[ok_r]).all()
+
+
+def test_mpx_pearson_branch(series):
+    """euclidean == corr_ed(pearson) by construction (src/mpx.cpp:981-984)."""
+    from matrixprofiler_spark.kernels import corr_ed
+
+    r_e = mpx(series, W, exclusion_zone=EZ, euclidean=True)
+    r_p = mpx(series, W, exclusion_zone=EZ, euclidean=False)
+    np.testing.assert_array_equal(
+        r_e["matrix_profile"], corr_ed(r_p["matrix_profile"], W))
+
+
+def test_contrast_pearson_branch(series):
+    res = contrast(series[0:400], series[449:750], 50, euclidean=False)
+    cp = res["contrast_profile"]
+    assert np.isfinite(cp).all() and (cp >= 0).all()
+    assert 1 <= res["plato_idx"] <= cp.size
+
+
+def test_scrimp_ab_join_delegates(series):
+    q = series[::-1].copy()
+    r1 = scrimp(series, W, query=q)
+    r2 = mpxab(series, q, W)
+    np.testing.assert_allclose(
+        r1["matrix_profile"], r2["matrix_profile"], rtol=1e-6, atol=1e-6)
