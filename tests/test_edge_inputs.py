@@ -80,10 +80,14 @@ def test_matrix_profile_edge(spark, edge_tokens):
 
 
 def test_gap_fill_edge(spark, edge_tokens):
+    from matrixprofiler_spark.operators.rollup import spine_from_tokens
+
     m1 = finest_rollup(edge_tokens)
-    # drop every bucket of one doc except bucket 0; spine restores them
+    # drop every bucket of one doc except bucket 0 — including the TRAILING
+    # buckets, which a data-derived spine cannot see; the n_tok-derived
+    # spine restores them all
     holey = m1.filter((F.col("doc_id") != "const") | (F.col("bucket") == 0))
-    filled = gap_fill(holey)
+    filled = gap_fill(holey, spine=spine_from_tokens(edge_tokens, "1m"))
     const_rows = filled.filter(F.col("doc_id") == "const").collect()
     assert len(const_rows) == 400 // 60 + 1
     assert sum(r.filled for r in const_rows) == len(const_rows) - 1
