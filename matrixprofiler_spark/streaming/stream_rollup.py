@@ -84,3 +84,96 @@ def stream_events_rollup(spark: SparkSession, input_dir: str, sink_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_bucket_rollup(spark: SparkSession, input_dir: str, sink_dir: str,
+                              checkpoint_dir: str, bucket_size: int = 60):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    docs arrive as ordered (doc_id, chunk_off, tokens) appends; per-doc
+    state carries the trailing partial bucket (the same sufficient state —
+    running counts/sums — the reference's incremental MPX prototypes keep,
+    src/mpx.cpp:194-376), and each micro-batch emits the buckets it
+    completed. Completed buckets never change (append output mode).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    chunk_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("chunk_off", T.LongType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("cnt", T.LongType(), False),
+            T.StructField("sum_v", T.LongType(), False),
+            T.StructField("sumsq", T.LongType(), False),
+            T.StructField("min_v", T.IntegerType(), False),
+            T.StructField("max_v", T.IntegerType(), False),
+        ]
+    )
+    # state: next expected offset + trailing partial bucket accumulators
+    state_schema = T.StructType(
+        [
+            T.StructField("next_off", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sum_v", T.LongType()),
+            T.StructField("sumsq", T.LongType()),
+            T.StructField("min_v", T.LongType()),
+            T.StructField("max_v", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        doc_id = key[0]
+        if state.exists:
+            next_off, cnt, s, s2, mn, mx = state.get
+        else:
+            next_off, cnt, s, s2, mn, mx = 0, 0, 0, 0, 2**31, -(2**31)
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("chunk_off")
+            for _, row in pdf.iterrows():
+                src = row["source"]
+                x = np.asarray(row["tokens"], dtype=np.int64)
+                off = int(row["chunk_off"])
+                assert off == next_off, f"out-of-order chunk for {doc_id}"
+                for v in x:
+                    b = next_off // bucket_size
+                    cnt += 1
+                    s += int(v)
+                    s2 += int(v) * int(v)
+                    mn = min(mn, int(v))
+                    mx = max(mx, int(v))
+                    next_off += 1
+                    if next_off % bucket_size == 0:
+                        out_rows.append((doc_id, src, b, cnt, s, s2, mn, mx))
+                        cnt, s, s2, mn, mx = 0, 0, 0, 2**31, -(2**31)
+        state.update((next_off, cnt, s, s2, mn, mx))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+
+    stream = (
+        spark.readStream.schema(chunk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = stream.groupBy("doc_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

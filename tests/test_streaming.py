@@ -77,3 +77,58 @@ def test_streaming_events_watermark(spark, tmp_path):
     r7b = rows[(7, "2024-01-01 01:00:00")]
     assert r7b.cnt == 1 and r7b.sum_cents == 400
     assert rows[(9, "2024-01-01 00:00:00")].cnt == 1
+
+
+def test_stateful_incremental_rollup(spark, tmp_path):
+    """applyInPandasWithState: chunked appends produce exactly the batch
+    finest-rollup's COMPLETED buckets, across a restart, with the trailing
+    partial carried in state."""
+    from matrixprofiler_spark.streaming.stream_rollup import (
+        incremental_bucket_rollup,
+    )
+
+    inp = str(tmp_path / "chunks")
+    sink = str(tmp_path / "sink2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    docs = {
+        "d1": np.arange(150, dtype=np.int32),          # 2 full + partial
+        "d2": (np.arange(200, dtype=np.int32) * 7) % 50257,  # 3 full + partial
+    }
+    # first delivery: first 100 offsets of each doc
+    rows1 = [(k, "web", 0, [int(v) for v in x[:100]]) for k, x in docs.items()]
+    spark.createDataFrame(
+        rows1, "doc_id string, source string, chunk_off long, tokens array<int>"
+    ).write.parquet(inp)
+    q = incremental_bucket_rollup(spark, inp, sink, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(sink).count()
+    assert first == 2  # one completed 60-bucket per doc
+
+    # second delivery appended; restart from checkpoint picks it up
+    rows2 = [(k, "web", 100, [int(v) for v in x[100:]]) for k, x in docs.items()]
+    spark.createDataFrame(
+        rows2, "doc_id string, source string, chunk_off long, tokens array<int>"
+    ).write.mode("append").parquet(inp)
+    q2 = incremental_bucket_rollup(spark, inp, sink, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.bucket): r
+        for r in spark.read.parquet(sink).collect()
+    }
+    # completed buckets must match the batch path exactly
+    from matrixprofiler_spark.sources.tokens import TOKENS_SCHEMA
+
+    batch_tokens = spark.createDataFrame(
+        [(k, [int(v) for v in x], len(x), "web") for k, x in docs.items()],
+        schema=TOKENS_SCHEMA,
+    )
+    want = {
+        (r.doc_id, r.bucket): r
+        for r in finest_rollup(batch_tokens).filter(F.col("cnt") == 60).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for col in ("cnt", "sum_v", "sumsq", "min_v", "max_v"):
+            assert getattr(got[k], col) == getattr(want[k], col), (k, col)
