@@ -36,6 +36,15 @@ def _as_f64(x) -> np.ndarray:
     return np.ascontiguousarray(x, dtype=_F64)
 
 
+def c_round(v: float) -> int:
+    """C round() — half away from zero — for non-negative v. Python's
+    round() rounds half to even, which disagrees with the reference at
+    w*ez = k + 0.5 whenever w*ez >= 2 (the +DBL_EPSILON is absorbed by
+    the double's ulp there): e.g. w=9, ez=0.5 -> C gives 5, Python 4,
+    shrinking the exclusion zone by 1 (src/stomp.cpp:29)."""
+    return int(math.floor(v + 0.5))
+
+
 def _skip_locations(x: np.ndarray, w: int) -> np.ndarray:
     """Windows containing any NA/Inf (src/stomp.cpp:36-43)."""
     bad = ~np.isfinite(x)
@@ -67,7 +76,7 @@ def stomp(data, window_size: int, query=None, exclusion_zone: float = 0.5,
     if not self_join:
         ez = 0.0
     w = int(window_size)
-    exclusion = round(w * ez + _EPS)
+    exclusion = c_round(w * ez + _EPS)
     n = x.size
     qn = q.size
     psize = n - w + 1
@@ -174,7 +183,7 @@ def stamp(data, window_size: int, query=None, exclusion_zone: float = 0.5) -> di
     if not self_join:
         ez = 0.0
     w = int(window_size)
-    exclusion = round(w * ez + _EPS)
+    exclusion = c_round(w * ez + _EPS)
     n = x.size
     qn = q.size
     psize = n - w + 1
@@ -230,7 +239,7 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
     x = _as_f64(data)
     w = int(window_size)
     ez = float(exclusion_zone)
-    exclusion = int(round(w * ez + _EPS)) + 1
+    exclusion = c_round(w * ez + _EPS) + 1
     n = x.size
     plen = n - w + 1
 
@@ -377,7 +386,7 @@ def scrimp(data, window_size: int, query=None, exclusion_zone: float = 0.5,
     x = _as_f64(data)
     w = int(window_size)
     ez = float(exclusion_zone)
-    exclusion = int(round(w * ez + _EPS))
+    exclusion = c_round(w * ez + _EPS)
     n = x.size
     psize = n - w + 1
 

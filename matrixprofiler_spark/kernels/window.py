@@ -318,9 +318,10 @@ def movmin(data, window_size: int) -> np.ndarray:
     loop on finite data."""
     x = _as_f64(data)
     w = int(window_size)
+    if w > x.size:
+        raise ValueError("window_size must be <= data size")
     if w <= 1:
         return x.copy()
-    w = min(w, x.size)
     return pd.Series(x).rolling(w).min().to_numpy()[w - 1 :]
 
 
@@ -328,9 +329,10 @@ def movmax(data, window_size: int) -> np.ndarray:
     """mov_max (src/windowfunc.cpp:242-281)."""
     x = _as_f64(data)
     w = int(window_size)
+    if w > x.size:
+        raise ValueError("window_size must be <= data size")
     if w <= 1:
         return x.copy()
-    w = min(w, x.size)
     return pd.Series(x).rolling(w).max().to_numpy()[w - 1 :]
 
 

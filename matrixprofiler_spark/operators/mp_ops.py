@@ -28,6 +28,8 @@ MP_BLOBS_SCHEMA = T.StructType(
         T.StructField("source", T.StringType(), False),
         T.StructField("w", T.IntegerType(), False),
         T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("n_used", T.IntegerType(), False),
+        T.StructField("truncated", T.BooleanType(), False),
         T.StructField("profile_len", T.IntegerType(), False),
         T.StructField("mp_blob", T.BinaryType(), True),
         T.StructField("pi_blob", T.BinaryType(), True),
@@ -43,7 +45,11 @@ def matrix_profile_blobs(tokens_df: DataFrame, w: int, algo: str = "mpx",
     fastest algorithm, R/mpx.R:3 — bit-exact vs its goldens), compressed.
 
     +Inf profile values (zero-variance / skip windows) are stored as-is:
-    Gorilla round-trips every bit pattern including infinities."""
+    Gorilla round-trips every bit pattern including infinities.
+
+    Docs longer than ``max_tokens`` are computed on the prefix and flagged
+    with ``truncated=True`` / ``n_used`` (no silent caps); chunk-and-stitch
+    via AB joins is the full-length path for such docs."""
 
     if algo not in ("mpx", "stomp"):
         raise ValueError(algo)
@@ -56,8 +62,11 @@ def matrix_profile_blobs(tokens_df: DataFrame, w: int, algo: str = "mpx",
                 n = int(x.size)
                 if max_tokens is not None:
                     x = x[:max_tokens]
+                n_used = int(x.size)
+                trunc = n_used < n
                 if x.size < 2 * w:
-                    rows.append((doc_id, src, w, n, 0, None, None, algo))
+                    rows.append((doc_id, src, w, n, n_used, trunc, 0,
+                                 None, None, algo))
                     continue
                 if algo == "mpx":
                     r = mpx(x, w, exclusion_zone=0.5)
@@ -66,7 +75,7 @@ def matrix_profile_blobs(tokens_df: DataFrame, w: int, algo: str = "mpx",
                 mp = np.asarray(r["matrix_profile"], dtype=np.float64)
                 pi = np.asarray(r["profile_index"], dtype=np.int64)
                 rows.append(
-                    (doc_id, src, w, n, int(mp.size),
+                    (doc_id, src, w, n, n_used, trunc, int(mp.size),
                      gorilla_encode(mp), dod_encode(pi), algo)
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MP_BLOBS_SCHEMA.fields])

@@ -191,7 +191,9 @@ def matrix_profile_exact(tokens_df: DataFrame, w: int, ez: float = 0.5) -> DataF
     smallest offset, matching a deterministic ORDER BY dist, off oracle).
 
     Zero-variance windows are dropped both as queries and as targets."""
-    exclusion = int(round(w * ez + np.finfo(np.float64).eps))
+    from ..kernels.mp import c_round
+
+    exclusion = c_round(w * ez + np.finfo(np.float64).eps)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -198,8 +198,11 @@ WHERE r.pos >= 2 AND r.pos - 2 <= d.n_tok - {ZC_W}
 
 
 def q_complexity(spark, sf_dir):
-    """CID complexity per doc (R/math.R:179-181) — exact int diff sumsq."""
-    t = _tok(spark, sf_dir)
+    """CID complexity per doc (R/math.R:179-181) — exact int diff sumsq.
+
+    Docs with a single token have no diffs; the oracle's WHERE df IS NOT
+    NULL drops them, so filter n_tok > 1 here too (row-set agreement)."""
+    t = _tok(spark, sf_dir).filter(F.size("tokens") > 1)
     diffs = F.transform(
         F.slice(F.col("tokens"), 2, F.size("tokens") - 1),
         lambda x, i: (x.cast("long") - F.element_at(F.col("tokens"), i + 1).cast("long")),
@@ -1026,15 +1029,39 @@ FROM rk WHERE rank <= 25
 
 
 def q_mp_blobs(spark, sf_dir):
-    """Distributed per-doc MPX matrix profile, Gorilla/DoD-compressed —
-    rows-only (binary columns; decode parity is unit-tested, and the
-    embedded golden doc's profile index matches the reference snapshot)."""
+    """Distributed per-doc MPX matrix profile, Gorilla/DoD-compressed.
+
+    The profile VALUES are MPX floats (bit-exact vs reference goldens in
+    pytest, not SQL-derivable), so the oracle face checks the structural
+    contract: per-doc row, profile_len == n_tok - w + 1 for every doc long
+    enough, explicit truncation flags (never silent), blob presence. The
+    blob payloads themselves are covered by codec round-trip tests and the
+    embedded reference-golden doc test."""
     from .operators.mp_ops import matrix_profile_blobs
 
-    toks = synth_tokens_df(spark, 24, seed=42)
-    return matrix_profile_blobs(toks, 128, max_tokens=4096).select(
-        "doc_id", "w", "n_tok", "profile_len", "algo"
+    toks = _tok(spark, sf_dir)
+    return matrix_profile_blobs(toks, W, max_tokens=None).select(
+        "doc_id", "w", "n_tok", "n_used", "truncated", "profile_len",
+        F.col("mp_blob").isNotNull().alias("has_mp"),
+        F.col("pi_blob").isNotNull().alias("has_pi"),
+        "algo",
     )
+
+
+SQL_MP_BLOBS = f"""
+WITH n AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT doc_id, {W} AS w, CAST(n_tok AS INT) AS n_tok,
+       CAST(n_tok AS INT) AS n_used, FALSE AS truncated,
+       CAST(CASE WHEN n_tok >= 2 * {W} THEN n_tok - {W} + 1 ELSE 0 END AS INT)
+         AS profile_len,
+       n_tok >= 2 * {W} AS has_mp, n_tok >= 2 * {W} AS has_pi,
+       'mpx' AS algo
+FROM n
+"""
 
 
 

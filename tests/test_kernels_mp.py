@@ -185,3 +185,37 @@ def test_scrimp_ab_join_delegates(series):
     r2 = mpxab(series, q, W)
     np.testing.assert_allclose(
         r1["matrix_profile"], r2["matrix_profile"], rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("w", [9, 13])
+def test_exclusion_zone_c_round_odd_w(w):
+    """C round() (half away from zero) vs Python round() (half to even):
+    at w = 9/13 (w*ez = 4.5/6.5 and the +DBL_EPSILON absorbed by the ulp),
+    the reference excludes |i-j| <= 5/7 while banker's rounding would keep
+    the zone one smaller and admit trivial neighbors (src/stomp.cpp:29).
+    All four algorithms must agree with a brute force using the C zone."""
+    from matrixprofiler_spark.kernels.mp import c_round
+
+    exc = c_round(w * 0.5 + np.finfo(float).eps)
+    assert exc == (w + 1) // 2  # half away from zero, NOT half to even
+
+    rng = np.random.default_rng(7)
+    # smooth series: adjacent windows are near-duplicates, so a too-small
+    # exclusion zone visibly changes the profile
+    x = np.cumsum(rng.normal(size=300)) + 0.01 * rng.normal(size=300)
+    plen = x.size - w + 1
+    windows = np.lib.stride_tricks.sliding_window_view(x, w)
+    mu = windows.mean(axis=1, keepdims=True)
+    sd = windows.std(axis=1, keepdims=True)
+    z = (windows - mu) / sd
+    dist = np.sqrt(np.maximum(((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2), 0))
+    idx = np.arange(plen)
+    dist[np.abs(idx[:, None] - idx[None, :]) <= exc] = np.inf
+    brute = dist.min(axis=1)
+
+    for algo in (stomp, stamp, scrimp, mpx):
+        res = algo(x, w, exclusion_zone=0.5)
+        np.testing.assert_allclose(
+            res["matrix_profile"], brute, rtol=1e-6, atol=1e-6,
+            err_msg=f"{algo.__name__} disagrees with C-round exclusion zone",
+        )
