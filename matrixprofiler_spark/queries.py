@@ -42,7 +42,7 @@ from .operators.windows import (
     sliding_stats,
     zero_crossings,
 )
-from .sources.tokens import synth_tokens_df, tokens_from_documents
+from .sources.tokens import tokens_from_documents
 
 W = 8  # power of two -> exact mean division
 ZC_W = 16
@@ -578,74 +578,306 @@ FROM w
 """
 
 
-# ----------------------------------------------- rows-only kernel queries
+# --------------------------------------------- kernel faces (char tokens)
+#
+# The w=64 MP/MASS family runs over CHAR-level tokens (ascii codes of the
+# first 256 chars — documents average ~300 chars vs only ~55 words, long
+# enough for 64-wide windows). Each face computes exact-integer semantics
+# (bitwise SQL-matchable, same design as matrix_profile_w8) AND runs the
+# real FFT/recurrence kernel in the same task, emitting a per-row
+# kernel_close flag the oracle pins to TRUE — so every green row both
+# hash-verifies the semantics and exercises the production kernel.
 
-_MP_ROWS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.StringType()),
-        T.StructField("off", T.IntegerType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("idx", T.IntegerType()),
-    ]
+CW = 64           # char-face window (power of two -> exact mean division)
+CEZ = 32          # c_round(64*0.5+eps); mpx uses CEZ+1 (src/mpx.cpp:883)
+MAX_CHARS = 256
+
+CHAR_CTE = f"""
+ctok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         [ascii(substr(t, i, 1)) FOR i IN range(1, length(t) + 1)] AS tokens
+  FROM (SELECT doc_id, substr(text, 1, {MAX_CHARS}) AS t FROM documents)
+),
+cpos AS (
+  SELECT doc_id, UNNEST(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS pos, len(tokens) AS n_tok
+  FROM ctok
 )
+"""
+
+# per-window exact int sums + the shared IEEE expression trees:
+# mu = s/w, sd = sqrt(s2/w - mu*mu), sig = 1/sqrt(s2 - mu*mu*w) (muinvn)
+CSTATS_CTE = f"""
+cwin AS (
+  SELECT doc_id, CAST(pos - {CW} AS INT) AS off,
+         CAST(SUM(tok) OVER w AS BIGINT) AS s,
+         CAST(SUM(tok * tok) OVER w AS BIGINT) AS s2,
+         n_tok
+  FROM cpos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {CW - 1} PRECEDING AND CURRENT ROW)
+  QUALIFY pos >= {CW}
+),
+cstats AS (
+  SELECT doc_id, off, s, s2, s / {CW}.0 AS mu,
+         sqrt(s2 / {CW}.0 - (s / {CW}.0) * (s / {CW}.0)) AS sd,
+         1.0 / sqrt(s2 - (s / {CW}.0) * (s / {CW}.0) * {CW}) AS sig
+  FROM cwin WHERE n_tok >= 2 * {CW}
+)
+"""
+
+# all same-doc window pairs with |i-j| > CEZ via per-diagonal window sums
+CCAND_CTE = f"""
+cprod AS (
+  SELECT a.doc_id, b.pos - a.pos AS diag, a.pos, a.tok * b.tok AS p
+  FROM cpos a JOIN cpos b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos > {CEZ}
+  WHERE a.n_tok >= 2 * {CW}
+),
+cqt AS (
+  SELECT doc_id, diag, CAST(pos - {CW} AS INT) AS o1,
+         CAST(SUM(p) OVER (PARTITION BY doc_id, diag ORDER BY pos
+              ROWS BETWEEN {CW - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS qt,
+         COUNT(*) OVER (PARTITION BY doc_id, diag ORDER BY pos
+              ROWS BETWEEN {CW - 1} PRECEDING AND CURRENT ROW) AS k
+  FROM cprod
+  QUALIFY k = {CW} AND pos >= {CW}
+),
+ccand AS (
+  SELECT doc_id, o1 AS off, o1 + diag AS nn, qt FROM cqt
+  UNION ALL
+  SELECT doc_id, o1 + diag AS off, o1 AS nn, qt FROM cqt
+)
+"""
+
+_CDIST_CTE = f"""
+cdist AS (
+  SELECT c.doc_id, c.off, c.nn,
+         GREATEST(2 * ({CW} - (c.qt - {CW} * so.mu * sn.mu) / (so.sd * sn.sd)), 0) AS d
+  FROM ccand c
+  JOIN cstats so ON so.doc_id = c.doc_id AND so.off = c.off
+  JOIN cstats sn ON sn.doc_id = c.doc_id AND sn.off = c.nn
+  WHERE so.sd > 0 AND sn.sd > 0
+)
+"""
 
 
-def _kernel_query(fn_name: str, w: int):
-    """Run a real MP kernel per doc over the synthetic tokens table
-    (includes the embedded 875-pt reference doc) — rows-only check."""
+def _chars(spark, sf_dir):
+    from .sources.tokens import chars_from_documents
 
-    def run(spark, sf_dir):
-        from .kernels import mass, mass_pre, mpx, scrimp, stamp, stomp
+    return chars_from_documents(spark, sf_dir, MAX_CHARS)
 
-        toks = synth_tokens_df(spark, 24, seed=42)
 
-        def kernel(batches):
-            for b in batches:
-                parts = []
-                for doc_id, t in zip(b["doc_id"], b["tokens"]):
-                    x = np.asarray(t, dtype=np.float64)[:2000]
-                    if x.size < 2 * w:
-                        continue
-                    if fn_name == "stomp":
-                        r = stomp(x, w)
-                        val, idx = r["matrix_profile"], r["profile_index"]
-                    elif fn_name == "stamp":
-                        r = stamp(x, w)
-                        val, idx = r["matrix_profile"], r["profile_index"]
-                    elif fn_name == "scrimp":
-                        r = scrimp(x, w)
-                        val, idx = r["matrix_profile"], r["profile_index"]
-                    elif fn_name == "mpx":
-                        r = mpx(x, w)
-                        val, idx = r["matrix_profile"], r["profile_index"]
-                    elif fn_name == "mass":
-                        pre = mass_pre(x, w)
-                        r = mass(pre, x, index=1)
-                        val = r["distance_profile"]
-                        idx = np.zeros(val.size, dtype=np.int32)
-                    else:
-                        raise ValueError(fn_name)
-                    val = np.asarray(val, dtype=np.float64)
-                    finite = np.isfinite(val)
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "doc_id": doc_id,
-                                "off": np.arange(val.size, dtype=np.int32)[finite],
-                                "value": val[finite],
-                                "idx": np.asarray(idx, dtype=np.int32)[finite],
-                            }
-                        )
-                    )
-                yield (
-                    pd.concat(parts, ignore_index=True)
-                    if parts
-                    else pd.DataFrame({f.name: pd.Series(dtype=object) for f in _MP_ROWS_SCHEMA.fields})
-                )
+def q_kernel_stomp(spark, sf_dir):
+    """STOMP face: exact-int MP + LEFT/RIGHT profiles (src/stomp.cpp:26-184,
+    140-153) with the C-round exclusion zone; runs the real STOMP kernel
+    per doc and pins |kernel - face| <= 1e-6 per row."""
+    from .operators.mp_exact import mp_dist_face
 
-        return toks.mapInPandas(kernel, schema=_MP_ROWS_SCHEMA)
+    return mp_dist_face(_chars(spark, sf_dir), CW, kernel="stomp", left_right=True)
 
-    return run
+
+SQL_KERNEL_STOMP = f"""
+WITH {CHAR_CTE}, {CSTATS_CTE}, {CCAND_CTE}, {_CDIST_CTE},
+cbest AS (
+  SELECT doc_id, off, nn, d,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, off ORDER BY d ASC, nn ASC) AS rn
+  FROM cdist
+),
+lbest AS (
+  SELECT doc_id, off, nn, d,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, off ORDER BY d ASC, nn ASC) AS rn
+  FROM cdist WHERE nn < off
+),
+rbest AS (
+  SELECT doc_id, off, nn, d,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, off ORDER BY d ASC, nn ASC) AS rn
+  FROM cdist WHERE nn > off
+)
+SELECT b.doc_id, CAST(b.off AS INT) AS off, sqrt(b.d) AS mp,
+       CAST(b.nn AS INT) AS nn_off,
+       COALESCE(sqrt(l.d), -1.0) AS lmp, CAST(COALESCE(l.nn, -1) AS INT) AS lnn,
+       COALESCE(sqrt(r.d), -1.0) AS rmp, CAST(COALESCE(r.nn, -1) AS INT) AS rnn,
+       TRUE AS kernel_close
+FROM cbest b
+LEFT JOIN lbest l ON l.doc_id = b.doc_id AND l.off = b.off AND l.rn = 1
+LEFT JOIN rbest r ON r.doc_id = b.doc_id AND r.off = b.off AND r.rn = 1
+WHERE b.rn = 1
+"""
+
+
+def q_kernel_stamp(spark, sf_dir):
+    """STAMP face (src/stamp.cpp:26-122): same exact MP semantics (the
+    anytime order is result-irrelevant), kernel_close vs the real MASS-v3
+    per-window STAMP kernel."""
+    from .operators.mp_exact import mp_dist_face
+
+    return mp_dist_face(_chars(spark, sf_dir), CW, kernel="stamp")
+
+
+def q_kernel_scrimp(spark, sf_dir):
+    """SCRIMP++ face (src/scrimp.cpp:26-280): PRE-SCRIMP + diagonal phase
+    converge to the exact MP; kernel_close vs the real SCRIMP++ kernel."""
+    from .operators.mp_exact import mp_dist_face
+
+    return mp_dist_face(_chars(spark, sf_dir), CW, kernel="scrimp")
+
+
+SQL_KERNEL_MP_PLAIN = f"""
+WITH {CHAR_CTE}, {CSTATS_CTE}, {CCAND_CTE}, {_CDIST_CTE},
+cbest AS (
+  SELECT doc_id, off, nn, d,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, off ORDER BY d ASC, nn ASC) AS rn
+  FROM cdist
+)
+SELECT doc_id, CAST(off AS INT) AS off, sqrt(d) AS mp, CAST(nn AS INT) AS nn_off,
+       TRUE AS kernel_close
+FROM cbest WHERE rn = 1
+"""
+
+
+def q_kernel_mpx(spark, sf_dir):
+    """MPX face (src/mpx.cpp:880-996): Pearson-space max with MPX's +1
+    exclusion, clip-at-1, ed = sqrt(2w(1-corr)); kernel_close vs the real
+    (bit-exact-vs-reference) MPX kernel."""
+    from .operators.mp_exact import mp_pearson_face
+
+    return mp_pearson_face(_chars(spark, sf_dir), CW)
+
+
+SQL_KERNEL_MPX = f"""
+WITH {CHAR_CTE}, {CSTATS_CTE}, {CCAND_CTE},
+ccorr AS (
+  SELECT c.doc_id, c.off, c.nn,
+         (c.qt - {CW} * so.mu * sn.mu) * so.sig * sn.sig AS corr
+  FROM ccand c
+  JOIN cstats so ON so.doc_id = c.doc_id AND so.off = c.off
+  JOIN cstats sn ON sn.doc_id = c.doc_id AND sn.off = c.nn
+  WHERE so.sd > 0 AND sn.sd > 0
+),
+cbest AS (
+  SELECT doc_id, off, nn, corr,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, off ORDER BY corr DESC, nn ASC) AS rn
+  FROM ccorr
+)
+SELECT doc_id, CAST(off AS INT) AS off,
+       sqrt({2 * CW} * (1.0 - CASE WHEN corr > 1 THEN 1.0 ELSE corr END)) AS mp,
+       CAST(nn AS INT) AS nn_off, TRUE AS kernel_close
+FROM cbest WHERE rn = 1
+"""
+
+
+def q_kernel_mass(spark, sf_dir):
+    """MASS v2/v3 face (src/mass.cpp:93-225): z-norm distance profile of
+    the window at offset 0, exact-int dot products; kernel_close vs the
+    real chunked-FFT MASS v3."""
+    from .operators.mp_exact import mass_face
+
+    return mass_face(_chars(spark, sf_dir), CW, kind="normalized")
+
+
+SQL_KERNEL_MASS = f"""
+WITH {CHAR_CTE}, {CSTATS_CTE},
+prod AS (
+  SELECT a.doc_id, b.pos - a.pos AS shift, a.tok * b.tok AS p
+  FROM cpos a JOIN cpos b
+    ON a.doc_id = b.doc_id AND a.pos <= {CW} AND b.pos - a.pos >= 0
+  WHERE b.pos - a.pos <= b.n_tok - {CW} AND a.n_tok >= 2 * {CW}
+),
+qt AS (SELECT doc_id, shift AS off, CAST(SUM(p) AS BIGINT) AS qt
+       FROM prod GROUP BY 1, 2 HAVING COUNT(*) = {CW})
+SELECT q.doc_id, CAST(q.off AS INT) AS off,
+       GREATEST(2 * ({CW} - (q.qt - {CW} * sq.mu * sd.mu) / (sq.sd * sd.sd)), 0) AS dist,
+       TRUE AS kernel_close
+FROM qt q
+JOIN cstats sq ON sq.doc_id = q.doc_id AND sq.off = 0
+JOIN cstats sd ON sd.doc_id = q.doc_id AND sd.off = q.off
+WHERE sq.sd > 0 AND sd.sd > 0
+"""
+
+
+def q_kernel_mass_abs(spark, sf_dir):
+    """MASS absolute face (src/mass.cpp:64-90): un-normalized squared ED
+    sumx2 - 2*QT + sumy2 — every term an exact int64; kernel_close vs the
+    real FFT mass_absolute."""
+    from .operators.mp_exact import mass_face
+
+    return mass_face(_chars(spark, sf_dir), CW, kind="absolute", tol=1e-4)
+
+
+SQL_KERNEL_MASS_ABS = f"""
+WITH {CHAR_CTE}, {CSTATS_CTE},
+prod AS (
+  SELECT a.doc_id, b.pos - a.pos AS shift, a.tok * b.tok AS p
+  FROM cpos a JOIN cpos b
+    ON a.doc_id = b.doc_id AND a.pos <= {CW} AND b.pos - a.pos >= 0
+  WHERE b.pos - a.pos <= b.n_tok - {CW} AND a.n_tok >= 2 * {CW}
+),
+qt AS (SELECT doc_id, shift AS off, CAST(SUM(p) AS BIGINT) AS qt
+       FROM prod GROUP BY 1, 2 HAVING COUNT(*) = {CW})
+SELECT q.doc_id, CAST(q.off AS INT) AS off,
+       CAST(q0.s2 + so.s2 - 2 * q.qt AS DOUBLE) AS dist,
+       TRUE AS kernel_close
+FROM qt q
+JOIN cstats q0 ON q0.doc_id = q.doc_id AND q0.off = 0
+JOIN cstats so ON so.doc_id = q.doc_id AND so.off = q.off
+"""
+
+
+def q_kernel_mass_weighted(spark, sf_dir):
+    """MASS weighted face (src/mass.cpp:26-61,476-532): the reference's
+    weighted z-norm distance algebra rebuilt from exact dyadic-weighted
+    integer sums (weights 1 + (k%4)/4); kernel_close vs the real FFT
+    mass_weighted."""
+    from .operators.mp_exact import mass_face
+
+    return mass_face(_chars(spark, sf_dir), CW, kind="weighted", tol=1e-5)
+
+
+# sum of the dyadic weights 1 + (k%4)*0.25 over k=0..63: 64 + 16*1.5 = 88
+_SUMW = "88.0"
+
+SQL_KERNEL_MASS_WEIGHTED = f"""
+WITH {CHAR_CTE}, {CSTATS_CTE},
+qscal AS (
+  SELECT doc_id,
+         SUM((1 + ((pos - 1) % 4) * 0.25) * tok) AS swq,
+         SUM((1 + ((pos - 1) % 4) * 0.25) * (tok * tok)) AS swq2
+  FROM cpos WHERE pos <= {CW} AND n_tok >= 2 * {CW} GROUP BY 1
+),
+wprod AS (
+  SELECT a.doc_id, b.pos - a.pos AS shift,
+         1 + ((a.pos - 1) % 4) * 0.25 AS wt, a.tok AS qtok, b.tok AS dtok
+  FROM cpos a JOIN cpos b
+    ON a.doc_id = b.doc_id AND a.pos <= {CW} AND b.pos - a.pos >= 0
+  WHERE b.pos - a.pos <= b.n_tok - {CW} AND a.n_tok >= 2 * {CW}
+),
+wsums AS (
+  SELECT doc_id, shift AS off,
+         SUM(wt * (qtok * dtok)) AS swqx,
+         SUM(wt * dtok) AS swx,
+         SUM(wt * (dtok * dtok)) AS swx2
+  FROM wprod GROUP BY 1, 2 HAVING COUNT(*) = {CW}
+),
+wcalc AS (
+  SELECT s.doc_id, s.off,
+         (qs.swq - q0.mu * {_SUMW}) / q0.sd AS sumwy,
+         (qs.swq2 - 2 * q0.mu * qs.swq + q0.mu * q0.mu * {_SUMW}) / (q0.sd * q0.sd) AS sumwy2,
+         (s.swx2 - 2 * s.swx * st.mu + {_SUMW} * (st.mu * st.mu)) / (st.sd * st.sd) AS data_pre,
+         (s.swqx - q0.mu * s.swx) / q0.sd AS z,
+         st.mu AS mu, st.sd AS sd
+  FROM wsums s
+  JOIN cstats st ON st.doc_id = s.doc_id AND st.off = s.off
+  JOIN cstats q0 ON q0.doc_id = s.doc_id AND q0.off = 0
+  JOIN qscal qs ON qs.doc_id = s.doc_id
+  WHERE q0.sd > 0 AND st.sd > 0
+)
+SELECT doc_id, CAST(off AS INT) AS off,
+       CASE WHEN data_pre - 2 * (z - sumwy * mu) / sd + sumwy2 < 0 THEN 0
+            ELSE data_pre - 2 * (z - sumwy * mu) / sd + sumwy2 END AS dist,
+       TRUE AS kernel_close
+FROM wcalc
+"""
 
 
 
@@ -712,8 +944,10 @@ _BSPLIT_SCHEMA = T.StructType(
 
 
 def q_binary_split(spark, sf_dir):
-    """binary_split(200) anytime visit order (src/mathtools.cpp:146-188) —
-    rows-only (driver-side ordering helper, golden-tested vs snapshot)."""
+    """binary_split(200) anytime visit order (src/mathtools.cpp:146-188):
+    BFS midpoint splitting of 1..n from a FIFO queue. The oracle replays
+    the queue as a recursive CTE ordered by (depth, path) — FIFO pop order
+    == level order with lo-half before hi-half."""
     from .kernels import binary_split
 
     order = binary_split(200)
@@ -722,156 +956,270 @@ def q_binary_split(spark, sf_dir):
     )
 
 
-def _mov_variants_query(spark, sf_dir):
-    """mov_sum/mean/var weighted + fading variants (recursive exponential
-    windows, src/windowfunc.cpp:286-450) — not SQL-expressible; rows-only."""
-    from .kernels import movmean, movsum, movvar
-
-    toks = synth_tokens_df(spark, 16, seed=42)
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType()),
-            T.StructField("off", T.IntegerType()),
-            T.StructField("sum_weighted", T.DoubleType()),
-            T.StructField("sum_fading", T.DoubleType()),
-            T.StructField("mean_weighted", T.DoubleType()),
-            T.StructField("mean_fading", T.DoubleType()),
-            T.StructField("var_weighted", T.DoubleType()),
-            T.StructField("var_fading", T.DoubleType()),
-        ]
-    )
-
-    def kernel(batches):
-        w = 64
-        for b in batches:
-            parts = []
-            for doc_id, t in zip(b["doc_id"], b["tokens"]):
-                x = np.asarray(t, dtype=np.float64)[:1000]
-                if x.size < w:
-                    continue
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": doc_id,
-                            "off": np.arange(x.size - w + 1, dtype=np.int32),
-                            "sum_weighted": movsum(x, w, "weighted"),
-                            "sum_fading": movsum(x, w, "fading"),
-                            "mean_weighted": movmean(x, w, "weighted"),
-                            "mean_fading": movmean(x, w, "fading"),
-                            "var_weighted": movvar(x, w, "weighted"),
-                            "var_fading": movvar(x, w, "fading"),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(parts, ignore_index=True)
-                if parts
-                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
-            )
-
-    return toks.mapInPandas(kernel, schema=schema)
+SQL_BINARY_SPLIT = """
+WITH RECURSIVE t AS (
+  SELECT 2 AS lb, 200 AS ub, 0 AS depth, '' AS path
+  UNION ALL
+  SELECT CASE WHEN c.side = 0 THEN t.lb ELSE (t.lb + t.ub) // 2 + 1 END,
+         CASE WHEN c.side = 0 THEN (t.lb + t.ub) // 2 - 1 ELSE t.ub END,
+         t.depth + 1, t.path || CAST(c.side AS VARCHAR)
+  FROM t, (VALUES (0), (1)) c(side)
+  WHERE (c.side = 0 AND t.lb < (t.lb + t.ub) // 2)
+     OR (c.side = 1 AND t.ub > (t.lb + t.ub) // 2)
+),
+ord_ AS (
+  SELECT (lb + ub) // 2 AS idx,
+         ROW_NUMBER() OVER (ORDER BY depth, path) AS rn
+  FROM t
+)
+SELECT CAST(0 AS INT) AS pos, CAST(1 AS INT) AS idx
+UNION ALL
+SELECT CAST(rn AS INT) AS pos, CAST(idx AS INT) AS idx FROM ord_
+"""
 
 
-def _contrast_query(spark, sf_dir):
-    """Contrast Profile (src/contrast.cpp:22-88) between consecutive synth
-    doc pairs — rows-only (MPX-based composite)."""
-    from .kernels import contrast
-
-    toks = synth_tokens_df(spark, 8, seed=42, include_golden=False)
-
-    schema = T.StructType(
-        [
-            T.StructField("pair_id", T.StringType()),
-            T.StructField("off", T.IntegerType()),
-            T.StructField("cp", T.DoubleType()),
-            T.StructField("plato_idx", T.IntegerType()),
-        ]
-    )
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        w = 50
-        rows = pdf.sort_values("doc_id").reset_index(drop=True)
-        parts = []
-        for i in range(0, len(rows) - 1, 2):
-            neg = np.asarray(rows.loc[i, "tokens"], dtype=np.float64)[:800]
-            pos = np.asarray(rows.loc[i + 1, "tokens"], dtype=np.float64)[:800]
-            if neg.size < 2 * w or pos.size < 2 * w:
-                continue
-            r = contrast(neg, pos, w)
-            cp = r["contrast_profile"]
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "pair_id": f"{rows.loc[i, 'doc_id']}|{rows.loc[i + 1, 'doc_id']}",
-                        "off": np.arange(cp.size, dtype=np.int32),
-                        "cp": cp,
-                        "plato_idx": np.int32(r["plato_idx"]),
-                    }
-                )
-            )
-        return (
-            pd.concat(parts, ignore_index=True)
-            if parts
-            else pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
-        )
-
-    return (
-        toks.withColumn("g", F.lit(1))
-        .groupBy("g")
-        .applyInPandas(lambda pdf: kernel(pdf).assign(), schema=schema)
-    )
+# paired-doc CTEs: even doc id = A side (negative), odd = B side; both
+# sides long enough for the window (same filter as the Spark faces)
+def _pair_ctes(w: int) -> str:
+    return f"""
+apos AS (
+  SELECT CAST(doc_id AS BIGINT) AS pa, tok, pos, n_tok
+  FROM cpos WHERE CAST(doc_id AS BIGINT) % 2 = 0
+),
+bpos AS (
+  SELECT CAST(doc_id AS BIGINT) - 1 AS pa, tok, pos, n_tok
+  FROM cpos WHERE CAST(doc_id AS BIGINT) % 2 = 1
+),
+pok AS (
+  SELECT a.pa FROM (SELECT DISTINCT pa, n_tok FROM apos) a
+  JOIN (SELECT DISTINCT pa, n_tok FROM bpos) b USING (pa)
+  WHERE a.n_tok >= 2 * {w} AND b.n_tok >= 2 * {w}
+),
+astat AS (
+  SELECT pa, CAST(pos - {w} AS INT) AS off,
+         CAST(SUM(tok) OVER v AS BIGINT) AS s,
+         CAST(SUM(tok * tok) OVER v AS BIGINT) AS s2
+  FROM apos WINDOW v AS (PARTITION BY pa ORDER BY pos
+             ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+  QUALIFY pos >= {w}
+),
+asig AS (
+  SELECT pa, off, s / {w}.0 AS mu,
+         sqrt(s2 / {w}.0 - (s / {w}.0) * (s / {w}.0)) AS sd,
+         1.0 / sqrt(s2 - (s / {w}.0) * (s / {w}.0) * {w}) AS sig
+  FROM astat
+),
+bstat AS (
+  SELECT pa, CAST(pos - {w} AS INT) AS off,
+         CAST(SUM(tok) OVER v AS BIGINT) AS s,
+         CAST(SUM(tok * tok) OVER v AS BIGINT) AS s2
+  FROM bpos WINDOW v AS (PARTITION BY pa ORDER BY pos
+             ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+  QUALIFY pos >= {w}
+),
+bsig AS (
+  SELECT pa, off, s / {w}.0 AS mu,
+         sqrt(s2 / {w}.0 - (s / {w}.0) * (s / {w}.0)) AS sd,
+         1.0 / sqrt(s2 - (s / {w}.0) * (s / {w}.0) * {w}) AS sig
+  FROM bstat
+)
+"""
 
 
-def _mpxab_query(spark, sf_dir):
-    """MPX AB-join (src/mpx.cpp:999-1174) between consecutive synth docs —
-    rows-only; sig>60 guard active."""
-    from .kernels import mpxab
+def q_kernel_mpxab(spark, sf_dir):
+    """MPX AB-join face (src/mpx.cpp:999-1174) between consecutive docs:
+    A-side profile = max Pearson over every B window with the sig>60
+    wild-sig guard; kernel_close vs the real MPXAB kernel."""
+    from .operators.mp_exact import mpxab_face
 
-    toks = synth_tokens_df(spark, 8, seed=42, include_golden=False)
+    return mpxab_face(_chars(spark, sf_dir), CW)
 
-    schema = T.StructType(
-        [
-            T.StructField("pair_id", T.StringType()),
-            T.StructField("off", T.IntegerType()),
-            T.StructField("mp_a", T.DoubleType()),
-            T.StructField("pi_a", T.IntegerType()),
-        ]
-    )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        w = 64
-        rows = pdf.sort_values("doc_id").reset_index(drop=True)
-        parts = []
-        for i in range(0, len(rows) - 1, 2):
-            a = np.asarray(rows.loc[i, "tokens"], dtype=np.float64)[:1200]
-            b = np.asarray(rows.loc[i + 1, "tokens"], dtype=np.float64)[:1200]
-            if a.size < 2 * w or b.size < 2 * w:
-                continue
-            r = mpxab(a, b, w)
-            mp = r["matrix_profile"]
-            fin = np.isfinite(mp)
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "pair_id": f"{rows.loc[i, 'doc_id']}|{rows.loc[i + 1, 'doc_id']}",
-                        "off": np.arange(mp.size, dtype=np.int32)[fin],
-                        "mp_a": mp[fin],
-                        "pi_a": np.asarray(r["profile_index"], dtype=np.int32)[fin],
-                    }
-                )
-            )
-        return (
-            pd.concat(parts, ignore_index=True)
-            if parts
-            else pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
-        )
+# cross products A x B per (pair, diag = b.pos - a.pos), windowed over a.pos
+SQL_KERNEL_MPXAB = f"""
+WITH {CHAR_CTE}, {_pair_ctes(CW)},
+abprod AS (
+  SELECT a.pa, b.pos - a.pos AS diag, a.pos, a.tok * b.tok AS p
+  FROM apos a JOIN bpos b ON a.pa = b.pa
+  WHERE a.pa IN (SELECT pa FROM pok)
+),
+abqt AS (
+  SELECT pa, diag, CAST(pos - {CW} AS INT) AS off,
+         CAST(SUM(p) OVER (PARTITION BY pa, diag ORDER BY pos
+              ROWS BETWEEN {CW - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS qt,
+         COUNT(*) OVER (PARTITION BY pa, diag ORDER BY pos
+              ROWS BETWEEN {CW - 1} PRECEDING AND CURRENT ROW) AS k
+  FROM abprod
+  QUALIFY k = {CW} AND pos >= {CW}
+),
+abcorr AS (
+  SELECT q.pa, q.off, q.off + q.diag AS nn,
+         (q.qt - {CW} * sa.mu * sb.mu) * sa.sig * sb.sig AS corr
+  FROM abqt q
+  JOIN asig sa ON sa.pa = q.pa AND sa.off = q.off
+  JOIN bsig sb ON sb.pa = q.pa AND sb.off = q.off + q.diag
+  WHERE sa.sig <= 60 AND sb.sig <= 60
+),
+abbest AS (
+  SELECT pa, off, nn, corr,
+         ROW_NUMBER() OVER (PARTITION BY pa, off ORDER BY corr DESC, nn ASC) AS rn
+  FROM abcorr
+)
+SELECT CAST(pa AS VARCHAR) || '|' || CAST(pa + 1 AS VARCHAR) AS pair_id,
+       CAST(off AS INT) AS off,
+       sqrt({2 * CW} * (1.0 - CASE WHEN corr > 1 THEN 1.0 ELSE corr END)) AS mp_a,
+       CAST(nn + 1 AS INT) AS pi_a, TRUE AS kernel_close
+FROM abbest WHERE rn = 1
+"""
 
-    return (
-        toks.withColumn("g", F.lit(1))
-        .groupBy("g")
-        .applyInPandas(lambda pdf: kernel(pdf), schema=schema)
-    )
+
+def q_kernel_contrast(spark, sf_dir):
+    """Contrast-profile face (src/contrast.cpp:22-88) at w=50 between
+    consecutive docs (even = negative, odd = positive); kernel_close vs the
+    real contrast kernel (MPX + MPXAB composite)."""
+    from .operators.mp_exact import contrast_face
+
+    return contrast_face(_chars(spark, sf_dir), 50)
+
+
+_CPW = 50
+_CPEX = 25  # self-join diag > 25 == MPX exclusion 26 at w=50
+
+SQL_KERNEL_CONTRAST = f"""
+WITH {CHAR_CTE}, {_pair_ctes(_CPW)},
+selfprod AS (
+  SELECT a.pa, b.pos - a.pos AS diag, a.pos, a.tok * b.tok AS p
+  FROM bpos a JOIN bpos b ON a.pa = b.pa AND b.pos - a.pos > {_CPEX}
+  WHERE a.pa IN (SELECT pa FROM pok)
+),
+selfqt AS (
+  SELECT pa, diag, CAST(pos - {_CPW} AS INT) AS o1,
+         CAST(SUM(p) OVER (PARTITION BY pa, diag ORDER BY pos
+              ROWS BETWEEN {_CPW - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS qt,
+         COUNT(*) OVER (PARTITION BY pa, diag ORDER BY pos
+              ROWS BETWEEN {_CPW - 1} PRECEDING AND CURRENT ROW) AS k
+  FROM selfprod
+  QUALIFY k = {_CPW} AND pos >= {_CPW}
+),
+selfcand AS (
+  SELECT pa, o1 AS off, o1 + diag AS nn, qt FROM selfqt
+  UNION ALL
+  SELECT pa, o1 + diag AS off, o1 AS nn, qt FROM selfqt
+),
+aa AS (
+  SELECT c.pa, c.off,
+         GREATEST(COALESCE(MAX((c.qt - {_CPW} * so.mu * sn.mu) * so.sig * sn.sig), -1.0), -1.0) AS corr
+  FROM selfcand c
+  JOIN bsig so ON so.pa = c.pa AND so.off = c.off
+  JOIN bsig sn ON sn.pa = c.pa AND sn.off = c.nn
+  WHERE sn.sd > 0
+  GROUP BY 1, 2
+),
+abprod AS (
+  SELECT p2.pa, n2.pos - p2.pos AS diag, p2.pos, p2.tok * n2.tok AS p
+  FROM bpos p2 JOIN apos n2 ON p2.pa = n2.pa
+  WHERE p2.pa IN (SELECT pa FROM pok)
+),
+abqt AS (
+  SELECT pa, diag, CAST(pos - {_CPW} AS INT) AS off,
+         CAST(SUM(p) OVER (PARTITION BY pa, diag ORDER BY pos
+              ROWS BETWEEN {_CPW - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS qt,
+         COUNT(*) OVER (PARTITION BY pa, diag ORDER BY pos
+              ROWS BETWEEN {_CPW - 1} PRECEDING AND CURRENT ROW) AS k
+  FROM abprod
+  QUALIFY k = {_CPW} AND pos >= {_CPW}
+),
+ab AS (
+  SELECT q.pa, q.off,
+         GREATEST(COALESCE(MAX((q.qt - {_CPW} * sp.mu * sn.mu) * sp.sig * sn.sig), -1.0), -1.0) AS corr
+  FROM abqt q
+  JOIN bsig sp ON sp.pa = q.pa AND sp.off = q.off
+  JOIN asig sn ON sn.pa = q.pa AND sn.off = q.off + q.diag
+  WHERE sp.sig <= 60 AND sn.sig <= 60
+  GROUP BY 1, 2
+),
+eds AS (
+  SELECT b0.pa, b0.off,
+         sqrt({2 * _CPW} * (1.0 - CASE WHEN ab.corr > 1 THEN 1.0
+                                       ELSE COALESCE(ab.corr, -1.0) END)) AS ed_ab,
+         sqrt({2 * _CPW} * (1.0 - CASE WHEN aa.corr > 1 THEN 1.0
+                                       ELSE COALESCE(aa.corr, -1.0) END)) AS ed_aa
+  FROM (SELECT pa, off, sd FROM bsig WHERE pa IN (SELECT pa FROM pok)) b0
+  LEFT JOIN aa ON aa.pa = b0.pa AND aa.off = b0.off
+  LEFT JOIN ab ON ab.pa = b0.pa AND ab.off = b0.off
+  WHERE b0.sd > 0
+),
+cps AS (
+  SELECT pa, off,
+         CASE WHEN ((CASE WHEN ed_ab > 10 THEN 10 ELSE ed_ab END)
+                  - (CASE WHEN ed_aa > 10 THEN 10 ELSE ed_aa END)) / 10.0 < 0
+              THEN 0
+              ELSE ((CASE WHEN ed_ab > 10 THEN 10 ELSE ed_ab END)
+                  - (CASE WHEN ed_aa > 10 THEN 10 ELSE ed_aa END)) / 10.0 END AS cp
+  FROM eds
+),
+plato AS (
+  SELECT pa, off, cp,
+         ROW_NUMBER() OVER (PARTITION BY pa ORDER BY cp DESC, off ASC) AS rn
+  FROM cps
+)
+SELECT CAST(c.pa AS VARCHAR) || '|' || CAST(c.pa + 1 AS VARCHAR) AS pair_id,
+       CAST(c.off AS INT) AS off, c.cp,
+       CAST(p.off + 1 AS INT) AS plato_idx, TRUE AS kernel_close
+FROM cps c JOIN plato p ON p.pa = c.pa AND p.rn = 1
+"""
+
+
+def q_kernel_mov_exp(spark, sf_dir):
+    """The REAL weighted/fading exponential window kernels
+    (src/windowfunc.cpp:286-450) on char tokens; the oracle replays the
+    identical sequential recurrence in a recursive CTE (alpha embedded as a
+    full-precision literal), verifying the production kernel itself
+    bit-for-bit."""
+    from .operators.mp_exact import mov_exp_face
+
+    return mov_exp_face(_chars(spark, sf_dir), CW, eps=0.90)
+
+
+def _sql_mov_exp() -> str:
+    alpha = 0.90 ** (1.0 / CW)     # same expression the kernel evaluates
+    aw1 = alpha ** (CW - 1)
+    A, A1 = repr(alpha), repr(aw1)
+    return f"""
+WITH RECURSIVE {CHAR_CTE},
+cx AS (SELECT doc_id, pos, CAST(tok AS DOUBLE) AS x FROM cpos),
+r AS (
+  SELECT doc_id, pos, x AS sw, x * x AS s2w, CAST(1.0 AS DOUBLE) AS cw,
+         x AS sf, x * x AS s2f, CAST(1.0 AS DOUBLE) AS cf
+  FROM cx WHERE pos = 1
+  UNION ALL
+  SELECT r.doc_id, r.pos + 1,
+         CASE WHEN r.pos + 1 > {CW}
+              THEN (r.sw * {A} + xn.x) - (xo.x * {A1})
+              ELSE r.sw * {A} + xn.x END,
+         CASE WHEN r.pos + 1 > {CW}
+              THEN (r.s2w * {A} + xn.x * xn.x) - ((xo.x * xo.x) * {A1})
+              ELSE r.s2w * {A} + xn.x * xn.x END,
+         CASE WHEN r.pos + 1 > {CW}
+              THEN (r.cw * {A} + 1) - {A1}
+              ELSE r.cw * {A} + 1 END,
+         r.sf * {A} + xn.x,
+         r.s2f * {A} + xn.x * xn.x,
+         r.cf * {A} + 1
+  FROM r
+  JOIN cx xn ON xn.doc_id = r.doc_id AND xn.pos = r.pos + 1
+  LEFT JOIN cx xo ON xo.doc_id = r.doc_id AND xo.pos = r.pos + 1 - {CW}
+)
+SELECT doc_id, CAST(pos - {CW} AS INT) AS off,
+       sw AS sum_weighted, sf AS sum_fading,
+       sw / cw AS mean_weighted, sf / cf AS mean_fading,
+       s2w / cw - ((sw * sw) / (cw * cw)) AS var_weighted,
+       s2f / cf - ((sf * sf) / (cf * cf)) AS var_fading
+FROM r WHERE pos >= {CW}
+"""
+
+
+SQL_KERNEL_MOV_EXP = _sql_mov_exp()
 
 
 
@@ -912,12 +1260,60 @@ FROM events GROUP BY 1, 2
 
 
 def q_tier_blobs(spark, sf_dir):
-    """Gorilla/DoD-compressed tier series per (doc, tier) — rows-only
-    (binary columns; codec round-trip is unit-tested)."""
+    """Gorilla/DoD tier blobs, verified THROUGH the codecs: rollup ->
+    encode -> decode -> per-doc aggregates of the decoded series must equal
+    the oracle's direct SQL aggregates (encode/decode cancels exactly —
+    Gorilla round-trips every bit pattern)."""
+    from .codecs import dod_decode, gorilla_decode
     from .operators.rollup import tier_blobs, tier_rollup
 
     roll = tier_rollup(_tok(spark, sf_dir)).filter(F.col("tier") == "1m")
-    return tier_blobs(roll).select("doc_id", "tier", "n_buckets")
+    blobs = tier_blobs(roll)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tier", T.StringType(), False),
+            T.StructField("n_buckets", T.IntegerType(), False),
+            T.StructField("b_min", T.LongType(), False),
+            T.StructField("b_max", T.LongType(), False),
+            T.StructField("cnt_sum", T.LongType(), False),
+            T.StructField("mean_min", T.DoubleType(), False),
+            T.StructField("mean_max", T.DoubleType(), False),
+        ]
+    )
+
+    def decode(batches):
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                buckets = dod_decode(bytes(r.buckets_blob))
+                cnts = dod_decode(bytes(r.cnt_blob))
+                means = gorilla_decode(bytes(r.mean_blob))
+                rows.append(
+                    (r.doc_id, r.tier, int(r.n_buckets),
+                     int(buckets.min()), int(buckets.max()), int(cnts.sum()),
+                     float(np.min(means)), float(np.max(means)))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return blobs.mapInPandas(decode, schema=out_schema)
+
+
+SQL_TIER_BLOBS = f"""
+WITH {TOK_CTE},
+r AS (
+  SELECT doc_id, (pos - 1) // 60 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v
+  FROM pos GROUP BY 1, 2
+)
+SELECT doc_id, '1m' AS tier, CAST(COUNT(*) AS INT) AS n_buckets,
+       CAST(MIN(bucket) AS BIGINT) AS b_min, CAST(MAX(bucket) AS BIGINT) AS b_max,
+       CAST(SUM(cnt) AS BIGINT) AS cnt_sum,
+       MIN(sum_v / CAST(cnt AS DOUBLE)) AS mean_min,
+       MAX(sum_v / CAST(cnt AS DOUBLE)) AS mean_max
+FROM r GROUP BY 1
+"""
 
 
 def q_image_features(spark, sf_dir):
@@ -1212,15 +1608,18 @@ def queries() -> dict:
         "lang_guess": q_lang_guess,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
-        # rows-only: the real MP kernels on the synthetic tokens table
-        "kernel_stomp_w64": _kernel_query("stomp", 64),
-        "kernel_stamp_w64": _kernel_query("stamp", 64),
-        "kernel_scrimp_w64": _kernel_query("scrimp", 64),
-        "kernel_mpx_w64": _kernel_query("mpx", 64),
-        "kernel_mass_w64": _kernel_query("mass", 64),
-        "kernel_mpxab_w64": _mpxab_query,
-        "kernel_contrast_w50": _contrast_query,
-        "kernel_mov_weighted_fading": _mov_variants_query,
+        # exact-int char-token faces: oracle-hash-verified semantics AND the
+        # real kernel run per row (kernel_close pinned TRUE by the oracle)
+        "kernel_stomp_w64": q_kernel_stomp,
+        "kernel_stamp_w64": q_kernel_stamp,
+        "kernel_scrimp_w64": q_kernel_scrimp,
+        "kernel_mpx_w64": q_kernel_mpx,
+        "kernel_mass_w64": q_kernel_mass,
+        "kernel_mass_abs_w64": q_kernel_mass_abs,
+        "kernel_mass_weighted_w64": q_kernel_mass_weighted,
+        "kernel_mpxab_w64": q_kernel_mpxab,
+        "kernel_contrast_w50": q_kernel_contrast,
+        "kernel_mov_weighted_fading": q_kernel_mov_exp,
         "binary_split": q_binary_split,
         "normalize_params": q_normalize_params,
         "ed_corr_roundtrip": q_ed_corr,
@@ -1261,6 +1660,19 @@ def oracle_sql() -> dict:
         "lang_guess": SQL_LANG_GUESS,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
+        "kernel_stomp_w64": SQL_KERNEL_STOMP,
+        "kernel_stamp_w64": SQL_KERNEL_MP_PLAIN,
+        "kernel_scrimp_w64": SQL_KERNEL_MP_PLAIN,
+        "kernel_mpx_w64": SQL_KERNEL_MPX,
+        "kernel_mass_w64": SQL_KERNEL_MASS,
+        "kernel_mass_abs_w64": SQL_KERNEL_MASS_ABS,
+        "kernel_mass_weighted_w64": SQL_KERNEL_MASS_WEIGHTED,
+        "kernel_mpxab_w64": SQL_KERNEL_MPXAB,
+        "kernel_contrast_w50": SQL_KERNEL_CONTRAST,
+        "kernel_mov_weighted_fading": SQL_KERNEL_MOV_EXP,
+        "binary_split": SQL_BINARY_SPLIT,
+        "tier_blobs": SQL_TIER_BLOBS,
+        "matrix_profile_blobs": SQL_MP_BLOBS,
         "normalize_params": SQL_NORMALIZE_PARAMS,
         "ed_corr_roundtrip": SQL_ED_CORR,
         "events_rollup_1h": SQL_EVENTS_ROLLUP,

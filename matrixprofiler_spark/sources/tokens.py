@@ -137,6 +137,27 @@ def ensure_synth_tokens(spark: SparkSession, n_docs: int, path: str,
 TOKENIZE_SQL = "length({w}) * 1000 + ascii(substr({w}, 1, 1))"
 
 
+def chars_from_documents(spark: SparkSession, sf_dir: str,
+                         max_chars: int = 256) -> DataFrame:
+    """Char-level tokens table (token = ascii code of each character of the
+    first ``max_chars`` chars) — the long-sequence oracle face: documents
+    average ~300 chars vs ~55 words, long enough for w=64 matrix-profile
+    windows while staying DuckDB-replicable position by position.
+
+    Whole expression is JVM-side (substr/sequence/transform)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok_expr = F.expr(
+        f"transform(sequence(1, length(substr(text, 1, {max_chars}))),"
+        f" i -> ascii(substr(substr(text, 1, {max_chars}), i, 1)))"
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tok_expr.alias("tokens"),
+        F.size(tok_expr).alias("n_tok"),
+        F.col("source").alias("source"),
+    )
+
+
 def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the tokens table from the driver-provided documents table with
     a DuckDB-replicable closed-form tokenizer (the oracle path).

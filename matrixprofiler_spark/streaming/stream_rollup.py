@@ -120,7 +120,9 @@ def incremental_bucket_rollup(spark: SparkSession, input_dir: str, sink_dir: str
             T.StructField("max_v", T.IntegerType(), False),
         ]
     )
-    # state: next expected offset + trailing partial bucket accumulators
+    # state: next expected offset + trailing partial bucket accumulators +
+    # buffered not-yet-contiguous chunks (chunks may arrive across Arrow
+    # batches / micro-batches in any order; buffer instead of asserting)
     state_schema = T.StructType(
         [
             T.StructField("next_off", T.LongType()),
@@ -129,37 +131,109 @@ def incremental_bucket_rollup(spark: SparkSession, input_dir: str, sink_dir: str
             T.StructField("sumsq", T.LongType()),
             T.StructField("min_v", T.LongType()),
             T.StructField("max_v", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("buf_offs", T.ArrayType(T.LongType())),
+            T.StructField("buf_lens", T.ArrayType(T.IntegerType())),
+            T.StructField("buf_toks", T.ArrayType(T.IntegerType())),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
+        """Vectorized: concatenate the contiguous run of chunks, then one
+        cumsum-diff / reduceat per micro-batch (the finest_rollup pattern,
+        operators/rollup.py:87-110) — no per-token Python. The trailing
+        partial bucket's exact accumulators are the only numeric state."""
         doc_id = key[0]
         if state.exists:
-            next_off, cnt, s, s2, mn, mx = state.get
+            (next_off, cnt, s, s2, mn, mx, src,
+             b_offs, b_lens, b_toks) = state.get
+            chunks = []
+            p = 0
+            toks_flat = np.asarray(b_toks if b_toks is not None else [], dtype=np.int64)
+            for off, ln in zip(b_offs or [], b_lens or []):
+                chunks.append((int(off), toks_flat[p : p + ln]))
+                p += ln
         else:
-            next_off, cnt, s, s2, mn, mx = 0, 0, 0, 0, 2**31, -(2**31)
-        out_rows = []
+            next_off, cnt, s, s2, mn, mx, src = 0, 0, 0, 0, 2**31, -(2**31), None
+            chunks = []
+
         for pdf in pdfs:
-            pdf = pdf.sort_values("chunk_off")
-            for _, row in pdf.iterrows():
-                src = row["source"]
-                x = np.asarray(row["tokens"], dtype=np.int64)
-                off = int(row["chunk_off"])
-                assert off == next_off, f"out-of-order chunk for {doc_id}"
-                for v in x:
-                    b = next_off // bucket_size
-                    cnt += 1
-                    s += int(v)
-                    s2 += int(v) * int(v)
-                    mn = min(mn, int(v))
-                    mx = max(mx, int(v))
-                    next_off += 1
-                    if next_off % bucket_size == 0:
-                        out_rows.append((doc_id, src, b, cnt, s, s2, mn, mx))
-                        cnt, s, s2, mn, mx = 0, 0, 0, 2**31, -(2**31)
-        state.update((next_off, cnt, s, s2, mn, mx))
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+            for off, toks, sc in zip(pdf["chunk_off"], pdf["tokens"], pdf["source"]):
+                src = sc
+                chunks.append((int(off), np.asarray(toks, dtype=np.int64)))
+        chunks.sort(key=lambda t: t[0])
+
+        run, rest = [], []
+        expected = next_off
+        for off, arr in chunks:
+            if off == expected:
+                run.append(arr)
+                expected += arr.size
+            elif off > expected:
+                rest.append((off, arr))
+            else:
+                raise ValueError(f"overlapping chunk for {doc_id} at {off}")
+
+        out = None
+        if run:
+            x = np.concatenate(run)
+            start = next_off
+            bs = bucket_size
+            first_cut = (bs - start % bs) % bs
+            cuts = np.arange(first_cut, x.size + 1, bs)
+            if cuts.size:
+                xb = x[: cuts[-1]]
+                seg_starts = np.concatenate(([0], cuts[:-1]))
+                nonempty = cuts > seg_starts  # first segment empty iff aligned
+                seg_starts, seg_ends = seg_starts[nonempty], cuts[nonempty]
+                c = np.concatenate(([0], np.cumsum(xb)))
+                c2 = np.concatenate(([0], np.cumsum(xb * xb)))
+                scnt = (seg_ends - seg_starts).astype(np.int64)
+                ssum = c[seg_ends] - c[seg_starts]
+                ssq = c2[seg_ends] - c2[seg_starts]
+                smn = np.minimum.reduceat(xb, seg_starts)
+                smx = np.maximum.reduceat(xb, seg_starts)
+                bids = (start + seg_starts) // bs
+                if cnt:  # carried partial completes the first bucket
+                    scnt[0] += cnt
+                    ssum[0] += s
+                    ssq[0] += s2
+                    smn[0] = min(int(smn[0]), int(mn))
+                    smx[0] = max(int(smx[0]), int(mx))
+                out = pd.DataFrame(
+                    {
+                        "doc_id": doc_id,
+                        "source": src,
+                        "bucket": bids,
+                        "cnt": scnt,
+                        "sum_v": ssum,
+                        "sumsq": ssq,
+                        "min_v": smn.astype(np.int32),
+                        "max_v": smx.astype(np.int32),
+                    }
+                )
+                cnt, s, s2, mn, mx = 0, 0, 0, 2**31, -(2**31)
+                tail = x[cuts[-1] :]
+            else:
+                tail = x
+            if tail.size:
+                cnt += int(tail.size)
+                s += int(tail.sum())
+                s2 += int((tail * tail).sum())
+                mn = min(int(mn), int(tail.min()))
+                mx = max(int(mx), int(tail.max()))
+            next_off = expected
+
+        state.update(
+            (
+                int(next_off), int(cnt), int(s), int(s2), int(mn), int(mx), src,
+                [int(o) for o, _ in rest],
+                [int(a.size) for _, a in rest],
+                [int(v) for _, a in rest for v in a],
+            )
+        )
+        if out is not None:
+            yield out
 
     stream = (
         spark.readStream.schema(chunk_schema)
