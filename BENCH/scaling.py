@@ -28,7 +28,7 @@ RUNNER = r"""
 import json, os, subprocess, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession, functions as F
-from matrixprofiler_spark.operators.rollup import tier_rollup, window_stats, gap_fill, with_derived_stats
+from matrixprofiler_spark.operators.rollup import tier_rollup, window_stats, window_stats_chunked, gap_fill, with_derived_stats
 from matrixprofiler_spark.sources.tokens import ensure_synth_tokens
 
 cpus = int(sys.argv[1]); parts = int(sys.argv[2]); n_docs = int(sys.argv[3])
@@ -69,7 +69,7 @@ rollup_points = rolled.count()
 m1 = rolled.filter(F.col("tier") == "1m")
 holey = m1.filter(F.pmod(F.xxhash64("doc_id") + F.col("bucket"), F.lit(20)) != 0)
 filled_points = gap_fill(holey, spine=spine_from_tokens(tokens, "1m")).count()
-ws = window_stats(tokens, w=128)
+ws = window_stats_chunked(tokens, w=128, chunk_len=4096)
 window_points = ws.agg(F.sum("n_windows")).collect()[0][0] or 0
 elapsed = time.time() - t0
 

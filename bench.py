@@ -58,7 +58,7 @@ def main() -> None:
     from matrixprofiler_spark.operators.rollup import (
         gap_fill,
         tier_rollup,
-        window_stats,
+        window_stats_chunked,
         with_derived_stats,
     )
     from matrixprofiler_spark.queries import queries as qreg
@@ -93,8 +93,11 @@ def main() -> None:
     times["gapfill_1m"] = time.time() - t0
 
     # ---- raw tier: per-window stats, Gorilla-encoded ----
+    # offset-range chunking (w-1 overlap) caps any task at chunk_len+w-1
+    # tokens: the 16k-token Zipf tail no longer pins single tasks
+    # (identical per-window outputs — chunked==unchunked is pytest-covered)
     t0 = time.time()
-    ws = window_stats(tokens, w=128, num_partitions=parts)
+    ws = window_stats_chunked(tokens, w=128, chunk_len=4096, num_partitions=parts)
     window_points = ws.agg(F.sum("n_windows")).collect()[0][0] or 0
     times["window_stats_w128"] = time.time() - t0
 

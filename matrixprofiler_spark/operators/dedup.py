@@ -58,16 +58,31 @@ def _ngrams(words_col, n: int):
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Candidate near-dup pairs by word n-gram Jaccard >= threshold.
 
     Plan: explode distinct n-grams -> self equi-join on (source, gram) ->
     pair-count aggregation -> Jaccard from exact int counts. Blocking on
-    ``source`` bounds the join fan-out."""
+    ``source`` bounds the join fan-out.
+
+    ``max_doc_freq`` is the candidate-pair skew hygiene for web scale: a
+    gram appearing in more than K docs ("of the and") fans the self-join
+    out quadratically on one hot key, so such grams are dropped from the
+    gram universe (both the join AND the set sizes — Jaccard over the
+    capped space). The join fan-out is then bounded by K^2 per gram."""
     w = doc_words(docs)
     grams = w.select(
         "doc_id", "source", F.explode(_ngrams(F.col("words"), n)).alias("gram")
     )
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("source", "gram")
+            .count()
+            .filter(F.col("count") <= max_doc_freq)
+            .select("source", "gram")
+        )
+        grams = grams.join(rare, ["source", "gram"])
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -130,18 +145,35 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     )
 
 
-def simhash64(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from word xxhash64 digests: bit j of the
-    fingerprint = sign of sum over words of (+1 if digest bit j else -1).
+def simhash64(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash per doc from word digests: bit j of the fingerprint =
+    sign of sum over words of (+1 if digest bit j else -1).
 
     Pure DataFrame: explode words -> per-bit contribution via bitwise ops ->
-    groupBy doc. Runs JVM-side; 64 shifted-AND expressions."""
+    groupBy doc. Runs JVM-side; 64 shifted-AND expressions.
+
+    hash_fn: "xxhash64" (fast JVM hash — production default) or "md5"
+    (bit j taken from the md5 hex digits — portable across engines, the
+    ANSI-SQL-oracle face)."""
     w = doc_words(docs).select("doc_id", F.explode("words").alias("word"))
-    h = w.select("doc_id", F.xxhash64("word").alias("h"))
+    if hash_fn == "xxhash64":
+        h = w.select("doc_id", F.xxhash64("word").alias("h"))
+        bit = [F.expr(f"(h >> {j}) & 1") for j in range(64)]
+    elif hash_fn == "md5":
+        hexd = F.md5(F.col("word"))
+        digits = [
+            F.conv(F.substring(hexd, kk + 1, 1), 16, 10).cast("int")
+            for kk in range(16)
+        ]
+        h = w.select("doc_id", *[d.alias(f"d{kk}") for kk, d in enumerate(digits)])
+        bit = [
+            F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+            for j in range(64)
+        ]
+    else:
+        raise ValueError(hash_fn)
     bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{j}")
+        F.sum(F.when(bit[j] == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")
         for j in range(64)
     ]
     agg = h.groupBy("doc_id").agg(*bit_sums)
@@ -153,11 +185,13 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked by the
     16-bit prefix (a real 100-TB run would block on multiple rotations)."""
-    s = simhash64(docs)
-    s = s.withColumn("block", F.shiftrightunsigned("simhash", 48))
+    s = simhash64(docs, hash_fn=hash_fn)
+    # arithmetic shift + mask == unsigned 16-bit prefix (engine-portable)
+    s = s.withColumn("block", F.shiftright("simhash", 48).bitwiseAND(F.lit(65535)))
     a = s.alias("a")
     b = s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -72,28 +72,43 @@ def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def decode_image(payload: bytes, width: int, height: int, channels: int,
-                 fake: bool = False) -> np.ndarray:
+                 fake: bool = False, mode: str = "philox") -> np.ndarray:
     """STUB: real implementation would be e.g. PIL/libjpeg (not available in
     this container). ``fake=True`` yields a deterministic uint8 array of the
-    declared shape, seeded by the payload digest — stable across machines."""
+    declared shape: mode='philox' seeds a counter RNG from the payload
+    digest; mode='tile' repeats the payload bytes row-major (the
+    closed-form decoder any engine can replicate — the oracle face)."""
     if not fake:
         raise NotImplementedError(
             "image codecs are not installed in this environment; "
             "pass fake=True for the deterministic test decoder"
         )
+    n = height * width * channels
+    if mode == "tile":
+        b = np.frombuffer(payload, dtype=np.uint8)
+        reps = -(-n // b.size)
+        return np.tile(b, reps)[:n].reshape(height, width, channels)
     digest = hashlib.sha256(payload).digest()
     seed = int.from_bytes(digest[:8], "little")
     rng = np.random.Generator(np.random.Philox(key=seed))
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
 
 
-def decode_audio(payload: bytes, n_samples: int, fake: bool = False) -> np.ndarray:
-    """STUB, same contract as decode_image: float32 waveform in [-1, 1)."""
+def decode_audio(payload: bytes, n_samples: int, fake: bool = False,
+                 mode: str = "philox") -> np.ndarray:
+    """STUB, same contract as decode_image: float32 waveform in [-1, 1).
+    mode='tile' maps tiled payload bytes to (b - 128) / 128 — closed-form
+    for the oracle face."""
     if not fake:
         raise NotImplementedError(
             "audio codecs are not installed in this environment; "
             "pass fake=True for the deterministic test decoder"
         )
+    if mode == "tile":
+        b = np.frombuffer(payload, dtype=np.uint8)
+        reps = -(-n_samples // b.size)
+        t = np.tile(b, reps)[:n_samples].astype(np.float32)
+        return ((t - 128.0) / 128.0).astype(np.float32)
     digest = hashlib.sha256(payload).digest()
     seed = int.from_bytes(digest[:8], "little")
     rng = np.random.Generator(np.random.Philox(key=seed))
@@ -182,3 +197,109 @@ def audio_features(media: DataFrame, frame: int = 1024,
 
     auds = media.filter(F.col("kind") == "audio")
     return auds.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table derived from the documents table (payload = utf-8 text
+    bytes, dimensions closed-form in doc_id/length) — the oracle-reachable
+    face of the media pipeline: an ANSI-SQL engine can re-derive payload
+    bytes positionally (ascii-only corpus), so decode->feature outputs are
+    hash-verifiable end to end. Even doc_id -> image, odd -> audio."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("long")
+    none_i = F.lit(None).cast("int")
+    imgs = docs.filter(did % 2 == 0).select(
+        F.concat(F.lit("img_"), did.cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.lit(8) + did % 8).cast("int").alias("width"),
+            (F.lit(8) + did % 5).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            none_i.alias("sample_rate"),
+            none_i.alias("n_samples"),
+        ).alias("meta"),
+    )
+    auds = docs.filter(did % 2 == 1).select(
+        F.concat(F.lit("aud_"), did.cast("string")).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            none_i.alias("width"),
+            none_i.alias("height"),
+            none_i.alias("channels"),
+            F.lit(16000).alias("sample_rate"),
+            (F.lit(1600) + (F.length("text") * 7) % 8000).cast("int").alias("n_samples"),
+        ).alias("meta"),
+    )
+    return imgs.unionByName(auds)
+
+
+IMAGE_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_pix", T.IntegerType(), False),
+        T.StructField("mean_lum", T.DoubleType(), False),
+        T.StructField("std_lum", T.DoubleType(), False),
+    ]
+)
+
+
+def image_features_exact(media: DataFrame) -> DataFrame:
+    """decode (tile mode) -> luminance stats from EXACT integer sums with
+    the oracle's expression tree: t_p = r+g+b per pixel (int), mean_lum =
+    S/(npix*3.0), std_lum = sqrt((S2/9.0)/npix - mean*mean)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                img = decode_image(bytes(payload), meta["width"], meta["height"],
+                                   meta["channels"], fake=True, mode="tile")
+                t = img.astype(np.int64).sum(axis=2).ravel()
+                npix = t.size
+                s = int(t.sum())
+                s2 = int((t * t).sum())
+                mean = s / (npix * 3.0)
+                std = np.sqrt((s2 / 9.0) / npix - mean * mean)
+                rows.append((mid, npix, mean, float(std)))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_EXACT_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        kernel, schema=IMAGE_EXACT_SCHEMA
+    )
+
+
+AUDIO_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("duration_sec", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_features_exact(media: DataFrame) -> DataFrame:
+    """decode (tile mode) -> global stats from EXACT integer sums: samples
+    are (b-128)/128 (exact float32), so d = round(x*128) recovers the ints;
+    rms = sqrt((SS/16384.0)/n), zcr = sign-changes/(n-1)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                x = decode_audio(bytes(payload), meta["n_samples"], fake=True,
+                                 mode="tile")
+                d = np.rint(x.astype(np.float64) * 128.0).astype(np.int64)
+                n = d.size
+                ss = int((d * d).sum())
+                rms = np.sqrt((ss / 16384.0) / n)
+                zc = int(((d[1:] * d[:-1]) < 0).sum())
+                rows.append((mid, n, n / 16000.0, float(rms), zc / (n - 1.0)))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_EXACT_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        kernel, schema=AUDIO_EXACT_SCHEMA
+    )

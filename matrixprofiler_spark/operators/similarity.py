@@ -65,77 +65,135 @@ def cosine_topk(emb: DataFrame, k: int = 1, num_queries: int = 20) -> DataFrame:
     )
 
 
-def cosine_pairs_above(emb: DataFrame, threshold: float = 0.2) -> DataFrame:
+_PAIRS_SCHEMA = "vec_a long, vec_b long, cos double"
+
+
+def cosine_pairs_above(emb: DataFrame, threshold: float = 0.2,
+                       num_blocks: int = 8) -> DataFrame:
     """Embedding near-dup pairs: all (a < b) with cosine >= threshold.
 
-    Plan: broadcast the quantized corpus (a small dim table) to every task,
-    then each partition computes its block's int64 matmul against the whole
-    corpus in numpy — exact (integer dot products are order-free exact in
-    int64) and ~10x faster than per-pair JVM lambdas. The LSH-bucketed
-    variant below is the 100-TB path where no side is broadcastable."""
+    Distributed block-nested-loop: vectors hash to ``num_blocks`` blocks,
+    the (small, broadcast) block-pair table (i <= j) fans each block out to
+    its pair groups, and a cogrouped Arrow kernel computes each block x
+    block tile as one exact int64 matmul. NO driver-side collect of the
+    corpus — the replication factor is ~num_blocks/2 and each tile is an
+    independent task, so the quadratic work distributes across the cluster
+    (size num_blocks so a block fits executor memory). The SRP-bucketed
+    join (srp_pairs_above) is the sub-quadratic approximate path at
+    100 TB; this operator is the exact-semantics baseline."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import types as T
 
-    qv = quantized(emb)
-    rows = qv.collect()  # small dim table (vec count x 64 ints)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.qv for r in rows], dtype=np.int64)
-    norms = np.sqrt(np.array([r.norm2 for r in rows], dtype=np.int64).astype(np.float64))
-    sc = emb.sparkSession.sparkContext
-    bc = sc.broadcast((ids, mat, norms))
+    spark = emb.sparkSession
+    block_pairs = [
+        (i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j
+    ]
 
-    schema = T.StructType(
-        [
-            T.StructField("vec_a", T.LongType()),
-            T.StructField("vec_b", T.LongType()),
-            T.StructField("cos", T.DoubleType()),
-        ]
+    def side(role: str) -> DataFrame:
+        # fresh projection lineage per side (new expression ids), so the
+        # cogroup below is not an ambiguous self-join
+        qv = quantized(emb).withColumn(
+            "blk", F.pmod(F.col("vec_id"), F.lit(num_blocks)).cast("int")
+        )
+        bp = spark.createDataFrame(block_pairs, "ba int, bb int")
+        return qv.join(F.broadcast(bp), F.col("blk") == F.col(role))
+
+    left = side("ba")
+    right = side("bb")
+
+    def tile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        a_ids = l["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = r["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.array([np.asarray(v, dtype=np.int64) for v in l["qv"]])
+        b_mat = np.array([np.asarray(v, dtype=np.int64) for v in r["qv"]])
+        a_n = np.sqrt(l["norm2"].to_numpy(dtype=np.int64).astype(np.float64))
+        b_n = np.sqrt(r["norm2"].to_numpy(dtype=np.int64).astype(np.float64))
+        dots = a_mat @ b_mat.T  # exact int64
+        cos = dots / (a_n[:, None] * b_n[None, :])
+        # i<j blocks are disjoint id sets; i==j tiles dedup via a<b
+        mask = (cos >= threshold) & (a_ids[:, None] != b_ids[None, :])
+        ai, bj = np.nonzero(mask)
+        va, vb = a_ids[ai], b_ids[bj]
+        keep = va < vb if (l["blk"].iat[0] == r["blk"].iat[0]) else np.ones(va.size, bool)
+        lo = np.minimum(va, vb)[keep]
+        hi = np.maximum(va, vb)[keep]
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos": cos[ai, bj][keep]})
+
+    return (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(tile, schema=_PAIRS_SCHEMA)
     )
 
-    def kernel(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for b in batches:
-            if not len(b):
-                continue
-            a_ids = b["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array([np.asarray(v, dtype=np.int64) for v in b["qv"]])
-            a_norm2 = b["norm2"].to_numpy(dtype=np.int64)
-            a_norms = np.sqrt(a_norm2.astype(np.float64))
-            dots = a_mat @ b_mat.T  # exact int64
-            cos = dots / (a_norms[:, None] * b_norms[None, :])
-            mask = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cos": cos[ai, bj]}
-            )
 
-    return qv.mapInPandas(kernel, schema=schema)
+def srp_signs(n_planes: int = 8, dim: int = 64, salt: str = "srp") -> "np.ndarray":
+    """Deterministic +-1 hyperplanes from md5(salt||plane||dim-index) —
+    closed-form constants computable by any engine (and embedded as
+    literals in the SQL oracle)."""
+    import hashlib
+
+    import numpy as np
+
+    signs = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for i in range(dim):
+            d = hashlib.md5(f"{salt}{p}_{i}".encode()).hexdigest()
+            signs[p, i] = 1 if int(d[0], 16) % 2 == 0 else -1
+    return signs
 
 
-def srp_bucketed_candidates(emb: DataFrame, n_planes: int = 8) -> DataFrame:
-    """Sign-random-projection LSH buckets (the scale path for ANN): bucket
-    id = sign bits of dot(v, h_p) for deterministic pseudo-random
-    hyperplanes h_p derived from xxhash64(p, dim) — fully JVM-side.
-
-    Vectors sharing a bucket are ANN candidates; at 100 TB this turns the
-    quadratic join into a per-bucket join."""
-    qv = quantized(emb)
-    dim = 64
+def _srp_bucket_col(n_planes: int) -> "F.Column":
+    """bucket = sum of sign-bit << p over planes; the per-plane projection
+    is an exact int64 sum, fully JVM-side (no UDF)."""
+    signs = srp_signs(n_planes)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        # deterministic +-1 hyperplane: sign of xxhash64(p * dim + i)
-        terms = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                F.sequence(F.lit(p * dim), F.lit(p * dim + dim - 1)),
-                lambda x, i: F.when(F.pmod(F.xxhash64(i), F.lit(2)) == 0, x).otherwise(-x),
-            ),
+        arr = F.array(*[F.lit(int(s)).cast("long") for s in signs[p]])
+        term = F.aggregate(
+            F.zip_with(F.col("qv"), arr, lambda x, s: x * s),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        bucket = bucket.bitwiseOR(F.shiftleft(F.when(terms > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p))
-    return qv.withColumn("bucket", bucket).select("vec_id", "bucket")
+        bucket = bucket + F.when(term > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << p).cast("long")
+    return bucket
+
+
+def srp_bucketed_candidates(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Sign-random-projection LSH buckets (the scale path for ANN):
+    vectors sharing a bucket are ANN candidates; at 100 TB this turns the
+    quadratic join into a per-bucket equi-join (srp_pairs_above)."""
+    qv = quantized(emb)
+    return qv.withColumn("bucket", _srp_bucket_col(n_planes)).select("vec_id", "bucket")
+
+
+def srp_pairs_above(emb: DataFrame, threshold: float = 0.2,
+                    n_planes: int = 4) -> DataFrame:
+    """The end-to-end SRP-bucketed candidate JOIN: bucket -> per-bucket
+    self equi-join -> exact quantized cosine filter. Sub-quadratic (join
+    keys bound the fan-out to bucket sizes); recall < 1 by design — pairs
+    split across buckets are missed, the standard LSH tradeoff (more
+    tables / fewer planes => higher recall)."""
+    qv = quantized(emb).withColumn("bucket", _srp_bucket_col(n_planes))
+    a = qv.alias("a")
+    b = qv.alias("b")
+    cos = _dot(F.col("a.qv"), F.col("b.qv")) / (
+        F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos",
+        )
+    )
 
 
 def ivf_index(emb: DataFrame, n_lists: int = 16, iters: int = 3) -> tuple:
@@ -151,11 +209,15 @@ def ivf_index(emb: DataFrame, n_lists: int = 16, iters: int = 3) -> tuple:
 
     qv = quantized(emb).persist()
     n = qv.count()
-    ids = [r.vec_id for r in qv.select("vec_id").orderBy("vec_id")
-           .limit(n).collect()][:: max(1, n // n_lists)][:n_lists]
-    seed_rows = qv.filter(F.col("vec_id").isin(ids)).collect()
+    step = max(1, n // n_lists)
+    # evenly-spaced seed ids — a bounded-size filter + collect of exactly
+    # n_lists rows (never the corpus)
+    seed_rows = qv.filter(
+        (F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+        & (F.col("vec_id") < step * n_lists)
+    ).collect()
     centroids = np.array([r.qv for r in sorted(seed_rows, key=lambda r: r.vec_id)],
-                         dtype=np.float64)
+                         dtype=np.float64)[:n_lists]
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
 
     sc = emb.sparkSession.sparkContext
@@ -179,17 +241,22 @@ def ivf_index(emb: DataFrame, n_lists: int = 16, iters: int = 3) -> tuple:
                                     "list_id": lists})
 
         assigned = qv.mapInPandas(assign, schema=schema)
-        # centroid update: mean of member vectors (distributed agg over
-        # exploded dims would shuffle; the corpus is collected per-list mean
-        # via a pandas grouped agg — lists are small at index-build time)
-        joined = assigned.join(qv, "vec_id")
-        pdf = joined.select("list_id", "qv").toPandas()
-        for lid, grp in pdf.groupby("list_id"):
-            vecs = np.array([np.asarray(v, dtype=np.float64) for v in grp["qv"]])
-            c = vecs.mean(axis=0)
-            nrm = np.linalg.norm(c)
-            if nrm > 0:
-                centroids[lid] = c / nrm
+        # centroid update as a DISTRIBUTED aggregation: exact int sums per
+        # (list, dim) via posexplode + map-side-combined groupBy; only the
+        # n_lists x dim summary reaches the driver (never the corpus)
+        sums = (
+            assigned.join(qv, "vec_id")
+            .select("list_id", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("list_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        acc = centroids.copy()
+        for r in sums:
+            acc[r.list_id][r.dim] = r.s / r.c
+        nrm = np.linalg.norm(acc, axis=1, keepdims=True)
+        upd = nrm[:, 0] > 0
+        centroids[upd] = acc[upd] / nrm[upd]
     bc = sc.broadcast(centroids)
 
     def assign_final(batches):
@@ -204,6 +271,79 @@ def ivf_index(emb: DataFrame, n_lists: int = 16, iters: int = 3) -> tuple:
                                 "list_id": lists})
 
     return qv.mapInPandas(assign_final, schema=schema), centroids
+
+
+def ivf_seed_topk(emb: DataFrame, n_lists: int = 8, nprobe: int = 4,
+                  k: int = 1, num_queries: int = 20) -> DataFrame:
+    """IVF routing with SEED centroids (0 k-means iterations): list l's
+    centroid is the quantized vector at vec_id l*floor(n/n_lists), scoring
+    dot_int / sqrt(seed_norm2) — every comparison an identical IEEE double
+    in any engine, so assignment, probing, and the final exact-cosine
+    top-k are all deterministic (the ANSI-SQL-oracle face of the IVF
+    operator; k-means refinement is ivf_topk, recall-tested in pytest)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qv = quantized(emb)
+    n = qv.count()
+    step = max(1, n // n_lists)
+    seed_rows = sorted(
+        qv.filter(
+            (F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+            & (F.col("vec_id") < step * n_lists)
+        ).collect(),
+        key=lambda r: r.vec_id,
+    )[:n_lists]
+    S = np.array([r.qv for r in seed_rows], dtype=np.int64)
+    s_norm = np.sqrt(np.array([r.norm2 for r in seed_rows], dtype=np.int64).astype(np.float64))
+    bc = emb.sparkSession.sparkContext.broadcast((S, s_norm))
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+    ])
+
+    def assign(batches):
+        Sm, Sn = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            m = np.array([np.asarray(v, dtype=np.int64) for v in b["qv"]])
+            score = (m @ Sm.T) / Sn[None, :]  # exact int dots / seed norm
+            lists = np.argmax(score, axis=1).astype(np.int32)  # ties -> low id
+            yield pd.DataFrame({"vec_id": b["vec_id"].to_numpy(dtype=np.int64),
+                                "list_id": lists})
+
+    assigned = qv.mapInPandas(assign, schema=schema)
+    queries = qv.filter(F.col("vec_id") < num_queries)
+    q_rows = queries.collect()  # the query set is small by definition
+    qm = np.array([r.qv for r in q_rows], dtype=np.int64)
+    score = (qm @ S.T) / s_norm[None, :]
+    L = S.shape[0]
+    probe_pairs = []
+    for r, sc_row in zip(q_rows, score):
+        order = np.lexsort((np.arange(L), -sc_row))  # score desc, list asc
+        probe_pairs += [(int(r.vec_id), int(l)) for l in order[:nprobe]]
+    probe_df = emb.sparkSession.createDataFrame(probe_pairs, "q_id long, list_id int")
+    cand = (
+        F.broadcast(probe_df).join(assigned, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    qd = queries.select(F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"),
+                        F.col("norm2").alias("q_norm2"))
+    pairs = (
+        cand.join(qv, "vec_id").join(F.broadcast(qd), "q_id")
+        .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
+        .withColumn("cos", F.col("dot") / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("nn_id"), "rank", "cos")
+    )
 
 
 def ivf_topk(emb: DataFrame, n_lists: int = 16, nprobe: int = 4,

@@ -372,21 +372,31 @@ FROM documents GROUP BY 1
 """
 
 
+_NGRAM_DF_CAP = 500  # drop grams in > K docs: hot-key hygiene for the join
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.2, max_doc_freq=_NGRAM_DF_CAP
+    )
 
 
-SQL_DEDUP_NGRAM_JACCARD = """
+SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH w AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, string_split(text, ' ') AS words
   FROM documents
 ),
-grams AS (
+grams0 AS (
   SELECT DISTINCT doc_id, source,
          UNNEST([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
                  FOR i IN range(1, len(words) - 1)]) AS gram
   FROM w
 ),
+rare AS (
+  SELECT source, gram FROM grams0 GROUP BY 1, 2
+  HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+),
+grams AS (SELECT g.* FROM grams0 g JOIN rare USING (source, gram)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
@@ -439,9 +449,47 @@ WHERE a.doc_id < b.doc_id
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs — rows-only check (xxhash64 has no portable
-    SQL equivalent; the operator itself is golden-tested via determinism)."""
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=20)
+    """SimHash near-dup pairs with the portable md5-bit hash family (the
+    production default is xxhash64 — same algorithm, faster JVM hash)."""
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=20, hash_fn="md5")
+
+
+def _sql_simhash() -> str:
+    bit_exprs = ",\n         ".join(
+        f"SUM(CASE WHEN (dg[{j // 4 + 1}] >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    fp_terms = " + ".join(
+        [f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END) * CAST({1 << j} AS BIGINT)"
+         for j in range(63)]
+        + ["(CASE WHEN b63 > 0 THEN 1 ELSE 0 END) * (-9223372036854775807 - 1)"]
+    )
+    return f"""
+WITH wrd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         UNNEST(string_split(text, ' ')) AS word
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         [strpos('0123456789abcdef', substr(md5(word), k, 1)) - 1
+          FOR k IN range(1, 17)] AS dg
+  FROM wrd
+),
+b AS (SELECT doc_id,
+         {bit_exprs}
+      FROM d GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM b),
+blk AS (SELECT doc_id, simhash, (simhash >> 48) & 65535 AS block FROM s)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+FROM blk a JOIN blk b2 ON a.block = b2.block
+WHERE a.doc_id < b2.doc_id
+  AND bit_count(xor(a.simhash, b2.simhash)) <= 20
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash()
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1317,29 +1365,145 @@ FROM r GROUP BY 1
 
 
 def q_image_features(spark, sf_dir):
-    """Multimodal: image decode (deterministic stub) -> 8x8 resize ->
-    perceptual hash + luminance stats — rows-only."""
-    from .operators.multimodal import image_features, synth_media_df
+    """Multimodal image pipeline, oracle-verified end to end: media table
+    derived from documents (payload = text bytes), deterministic tile
+    decoder, luminance stats from exact integer sums. The richer features
+    (8x8 resize, phash) and the philox fake decoder stay pytest-covered
+    (tests/test_multimodal.py); the real-codec decode remains a declared
+    stub."""
+    from .operators.multimodal import image_features_exact, media_from_documents
 
-    return image_features(synth_media_df(spark, 64)).select(
-        "media_id", "mean_lum", "std_lum", "phash64"
-    )
+    return image_features_exact(media_from_documents(spark, sf_dir))
+
+
+SQL_IMAGE_FEATURES = """
+WITH img AS (
+  SELECT doc_id, text, length(text) AS L,
+         8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+tp AS (
+  SELECT doc_id, h * w AS npix,
+         UNNEST([
+             ascii(substr(text, CAST((3 * p) % L AS INT) + 1, 1))
+           + ascii(substr(text, CAST((3 * p + 1) % L AS INT) + 1, 1))
+           + ascii(substr(text, CAST((3 * p + 2) % L AS INT) + 1, 1))
+           FOR p IN range(0, h * w)]) AS t
+  FROM img
+),
+agg AS (
+  SELECT doc_id, npix, CAST(SUM(t) AS BIGINT) AS s,
+         CAST(SUM(t * t) AS BIGINT) AS s2
+  FROM tp GROUP BY 1, 2
+)
+SELECT 'img_' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(npix AS INT) AS n_pix,
+       s / (npix * 3.0) AS mean_lum,
+       sqrt((s2 / 9.0) / npix - (s / (npix * 3.0)) * (s / (npix * 3.0))) AS std_lum
+FROM agg
+"""
 
 
 def q_audio_features(spark, sf_dir):
-    """Multimodal: audio decode (stub) -> frame-sampled RMS — rows-only."""
-    from .operators.multimodal import audio_features, synth_media_df
+    """Multimodal audio pipeline, oracle-verified end to end: tile-decoded
+    waveform (b-128)/128, rms/zcr from exact integer sums. Frame-sampled
+    RMS + philox decoder stay pytest-covered."""
+    from .operators.multimodal import audio_features_exact, media_from_documents
 
-    return audio_features(synth_media_df(spark, 64)).select(
-        "media_id", "duration_sec", "rms", "zero_crossing_rate"
-    )
+    return audio_features_exact(media_from_documents(spark, sf_dir))
+
+
+SQL_AUDIO_FEATURES = """
+WITH aud AS (
+  SELECT doc_id, text, length(text) AS L,
+         1600 + (length(text) * 7) % 8000 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+smp AS (
+  SELECT doc_id, n,
+         UNNEST([ascii(substr(text, CAST(k % L AS INT) + 1, 1)) - 128
+                 FOR k IN range(0, n)]) AS d,
+         UNNEST(range(0, n)) AS k
+  FROM aud
+),
+flg AS (
+  SELECT doc_id, n, d,
+         CASE WHEN d * LAG(d) OVER (PARTITION BY doc_id ORDER BY k) < 0
+              THEN 1 ELSE 0 END AS c
+  FROM smp
+),
+agg AS (
+  SELECT doc_id, n, CAST(SUM(d * d) AS BIGINT) AS ss,
+         CAST(SUM(c) AS BIGINT) AS zc
+  FROM flg GROUP BY 1, 2
+)
+SELECT 'aud_' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(n AS INT) AS n_samples,
+       n / 16000.0 AS duration_sec,
+       sqrt((ss / 16384.0) / n) AS rms,
+       zc / (n - 1.0) AS zcr
+FROM agg
+"""
 
 
 def q_srp_buckets(spark, sf_dir):
-    """ANN scale path: sign-random-projection LSH bucket ids — rows-only."""
+    """ANN scale path: sign-random-projection LSH bucket ids. Hyperplane
+    signs are md5-derived closed-form constants, embedded as literals in
+    the oracle; projections are exact int64 sums, so bucket ids match
+    bitwise."""
     from .operators.similarity import srp_bucketed_candidates
 
     return srp_bucketed_candidates(_emb(spark, sf_dir), n_planes=8)
+
+
+def _srp_bucket_sql_expr(n_planes: int) -> str:
+    from .operators.similarity import srp_signs
+
+    signs = srp_signs(n_planes)
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(str(int(s)) for s in signs[p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(q, {arr}),"
+            f" t -> t[1] * t[2])) > 0 THEN 1 ELSE 0 END) * {1 << p}"
+        )
+    return " + ".join(terms)
+
+
+_SQL_QV_CTE = """
+qv AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         [CAST(round(CAST(e AS DOUBLE) * 10000, 0) AS BIGINT) FOR e IN embedding] AS q
+  FROM embeddings
+),
+nq AS (SELECT vec_id, q, CAST(list_sum([x * x FOR x IN q]) AS BIGINT) AS norm2 FROM qv)
+"""
+
+SQL_SRP_BUCKETS = f"""
+WITH {_SQL_QV_CTE}
+SELECT vec_id, CAST({{expr}} AS BIGINT) AS bucket FROM nq
+""".replace("{expr}", _srp_bucket_sql_expr(8))
+
+
+def q_srp_pairs(spark, sf_dir):
+    """The SRP candidate JOIN end-to-end: per-bucket self equi-join + exact
+    quantized cosine >= threshold — the sub-quadratic 100-TB near-dup path
+    (replaces the all-pairs block join when n is too large for n^2)."""
+    from .operators.similarity import srp_pairs_above
+
+    return srp_pairs_above(_emb(spark, sf_dir), threshold=0.2, n_planes=4)
+
+
+SQL_SRP_PAIRS = f"""
+WITH {_SQL_QV_CTE},
+bk AS (SELECT vec_id, q, norm2, CAST({{expr}} AS BIGINT) AS bucket FROM nq)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(list_sum(list_transform(list_zip(a.q, b.q), t -> t[1] * t[2])) AS BIGINT)
+         / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), t -> t[1] * t[2])) AS BIGINT)
+      / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.2
+""".replace("{expr}", _srp_bucket_sql_expr(4))
 
 
 
@@ -1463,12 +1627,60 @@ FROM n
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-1 (probe 4 of 8 k-means lists) — rows-only
-    (approximate by design; recall vs brute force is unit-tested, and
-    nprobe == n_lists is tested equal to the exact result)."""
-    from .operators.similarity import ivf_topk
+    """IVF approximate top-1 (probe 4 of 8 lists) with SEED centroids —
+    assignment/probing score dot_int/sqrt(seed_norm2), identical IEEE
+    doubles in any engine, so the whole routing is oracle-deterministic.
+    The k-means-refined index (ivf_topk/ivf_index, distributed centroid
+    update) is recall-tested in pytest; nprobe == n_lists equals exact."""
+    from .operators.similarity import ivf_seed_topk
 
-    return ivf_topk(_emb(spark, sf_dir), n_lists=8, nprobe=4, k=1, num_queries=20)
+    return ivf_seed_topk(_emb(spark, sf_dir), n_lists=8, nprobe=4, k=1,
+                         num_queries=20)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_SQL_QV_CTE},
+cnt AS (SELECT GREATEST(COUNT(*) // 8, 1) AS step FROM nq),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id,
+         q AS sq, norm2 AS sn2
+  FROM nq, cnt WHERE vec_id % step = 0 AND vec_id < step * 8
+),
+assign AS (
+  SELECT v.vec_id, s.list_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           CAST(list_sum(list_transform(list_zip(v.q, s.sq), t -> t[1] * t[2])) AS BIGINT)
+             / sqrt(s.sn2) DESC, s.list_id ASC) AS rn
+  FROM nq v CROSS JOIN seeds s
+),
+probes AS (
+  SELECT v.vec_id AS q_id, s.list_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           CAST(list_sum(list_transform(list_zip(v.q, s.sq), t -> t[1] * t[2])) AS BIGINT)
+             / sqrt(s.sn2) DESC, s.list_id ASC) AS rn
+  FROM nq v CROSS JOIN seeds s WHERE v.vec_id < 20
+),
+cand AS (
+  SELECT p.q_id, a.vec_id
+  FROM (SELECT q_id, list_id FROM probes WHERE rn <= 4) p
+  JOIN (SELECT vec_id, list_id FROM assign WHERE rn = 1) a USING (list_id)
+  WHERE a.vec_id != p.q_id
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         CAST(list_sum(list_transform(list_zip(qq.q, vv.q), t -> t[1] * t[2])) AS BIGINT)
+           / (sqrt(qq.norm2) * sqrt(vv.norm2)) AS cos
+  FROM cand c
+  JOIN nq qq ON qq.vec_id = c.q_id
+  JOIN nq vv ON vv.vec_id = c.vec_id
+),
+rk AS (
+  SELECT q_id, vec_id AS nn_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, nn_id, CAST(rank AS INT) AS rank, cos FROM rk WHERE rank <= 1
+"""
 
 
 
@@ -1628,6 +1840,7 @@ def queries() -> dict:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "ann_srp_buckets": q_srp_buckets,
+        "ann_srp_pairs": q_srp_pairs,
         "tpch_q1_cents": q_tpch_q1,
         "tpch_top_customers": q_tpch_top_customers,
         "matrix_profile_blobs": q_mp_blobs,
@@ -1654,7 +1867,11 @@ def oracle_sql() -> dict:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
         "ann_topk": SQL_ANN_TOPK,
+        "ann_srp_buckets": SQL_SRP_BUCKETS,
+        "ann_srp_pairs": SQL_SRP_PAIRS,
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "text_stats": SQL_TEXT_STATS,
         "lang_guess": SQL_LANG_GUESS,
@@ -1672,6 +1889,8 @@ def oracle_sql() -> dict:
         "kernel_mov_weighted_fading": SQL_KERNEL_MOV_EXP,
         "binary_split": SQL_BINARY_SPLIT,
         "tier_blobs": SQL_TIER_BLOBS,
+        "image_features": SQL_IMAGE_FEATURES,
+        "audio_features": SQL_AUDIO_FEATURES,
         "matrix_profile_blobs": SQL_MP_BLOBS,
         "normalize_params": SQL_NORMALIZE_PARAMS,
         "ed_corr_roundtrip": SQL_ED_CORR,

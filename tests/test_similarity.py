@@ -43,3 +43,63 @@ def test_srp_buckets_deterministic(spark, emb):
     b = {r.vec_id: r.bucket for r in srp_bucketed_candidates(emb.repartition(7)).collect()}
     assert a == b
     assert len(set(a.values())) > 1  # actually buckets
+
+
+def test_cosine_pairs_block_join_plan(spark, emb):
+    """The exact-pairs operator must be a distributed cogrouped block join:
+    FlatMapCoGroupsInPandas in the plan, and no stage collects the corpus
+    to the driver (the round-1 anti-pattern). Results must equal the
+    quadratic ground truth."""
+    import numpy as np
+
+    from matrixprofiler_spark.operators.similarity import (
+        cosine_pairs_above,
+        quantized,
+    )
+
+    pairs = cosine_pairs_above(emb, threshold=0.3, num_blocks=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+    got = {(r.vec_a, r.vec_b): r.cos for r in pairs.collect()}
+    rows = quantized(emb).collect()  # ground truth computed in the TEST
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.qv for r in rows], dtype=np.int64)
+    nrm = np.sqrt(np.array([r.norm2 for r in rows], dtype=np.float64))
+    cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+    want = {
+        (int(ids[i]), int(ids[j])): cos[i, j]
+        for i in range(len(ids)) for j in range(len(ids))
+        if ids[i] < ids[j] and cos[i, j] >= 0.3
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k]
+
+
+def test_srp_pairs_subset_of_exact(spark, emb):
+    """SRP-bucketed candidate join: every reported pair is a true pair
+    (cos >= t, exact), and recall over the exact pair set is meaningful."""
+    from matrixprofiler_spark.operators.similarity import (
+        cosine_pairs_above,
+        srp_pairs_above,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in cosine_pairs_above(emb, 0.3).collect()}
+    srp = {(r.vec_a, r.vec_b) for r in srp_pairs_above(emb, 0.3, n_planes=4).collect()}
+    assert srp <= exact
+    # single-table SRP recall ~ (1 - theta/pi)^k; at cos>=0.3 (theta<=72.5
+    # deg) and k=4 that's >= 0.13 in expectation — assert a loose floor
+    # (multiple OR'd tables are the production recall knob)
+    assert len(srp) >= 0.08 * len(exact), (len(srp), len(exact))
+
+
+def test_ivf_seed_routing_matches_kmeans_surface(spark, emb):
+    """Seed-centroid IVF (the oracle face) returns the same schema and a
+    sane approximation: full probe == brute force."""
+    from matrixprofiler_spark.operators.similarity import ivf_seed_topk
+
+    brute = {r.q_id: r.nn_id for r in cosine_topk(emb, k=1, num_queries=10).collect()}
+    full = {r.q_id: r.nn_id for r in ivf_seed_topk(emb, n_lists=8, nprobe=8,
+                                                   k=1, num_queries=10).collect()}
+    assert full == brute
