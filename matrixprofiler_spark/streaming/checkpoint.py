@@ -67,12 +67,29 @@ class RollupJob:
             if read_manifest(self.base, stage, k) is not None
         ]
 
+    def stage_input(self, tokens: DataFrame) -> DataFrame:
+        """Write the input ONCE, hive-partitioned by group, so each commit
+        unit below is a partition-PRUNED read of its own directory instead
+        of a full-input filter scan per group (at 100 TB: one write + n
+        pruned reads, not n full scans). Idempotent: skipped when the
+        staged layout already exists (its own _SUCCESS commit marker)."""
+        staged = self.base / "input_staged"
+        if not (staged / "_SUCCESS").exists():
+            (
+                tokens.withColumn("grp", self.group_col())
+                .write.mode("overwrite")
+                .partitionBy("grp")
+                .parquet(str(staged))
+            )
+        return self.spark.read.parquet(str(staged))
+
     def run(self, tokens: DataFrame, stage: str = "rollup_1m",
             fail_after: int | None = None) -> list[int]:
         """Process all incomplete groups; returns the groups processed this
         run. ``fail_after`` aborts after N groups (for kill-and-resume
         tests)."""
         done = set(self.completed_groups(stage))
+        staged = self.stage_input(tokens)
         processed = []
         for k in range(self.n_groups):
             if k in done:
@@ -80,12 +97,16 @@ class RollupJob:
             if fail_after is not None and len(processed) >= fail_after:
                 raise RuntimeError(f"injected failure after {fail_after} groups")
             t0 = time.time()
-            part_tokens = tokens.filter(self.group_col() == k)
+            part_tokens = staged.filter(F.col("grp") == k)  # pruned read
             out = with_derived_stats(finest_rollup(part_tokens))
             out_path = str(self.base / f"stage={stage}" / f"part={k}")
             out.write.mode("overwrite").parquet(out_path)
-            rows = self.spark.read.parquet(out_path).count()
-            n_docs = part_tokens.count()
+            committed = self.spark.read.parquet(out_path)
+            agg = committed.agg(
+                F.count("*").alias("rows"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            ).collect()[0]
+            rows, n_docs = agg["rows"], agg["n_docs"]
             elapsed = time.time() - t0
             manifest = {
                 "stage": stage,
