@@ -25,7 +25,7 @@ from .mass import (
     mass_weighted,
     set_k,
 )
-from .mp import contrast, mpx, mpxab, scrimp, stamp, stomp
+from .mp import contrast, mpx, mpxab, scrimp, scrimpab, stamp, stomp
 from .window import (
     movmax,
     movmean,
@@ -44,7 +44,7 @@ __all__ = [
     "mode", "normalize", "seqmean", "seqsum", "std", "sum_of_squares",
     "znorm", "mass", "mass2", "mass3", "mass_absolute", "mass_pre",
     "mass_pre_abs", "mass_pre_weighted", "mass_weighted", "set_k",
-    "contrast", "mpx", "mpxab", "scrimp", "stamp", "stomp", "movmax",
+    "contrast", "mpx", "mpxab", "scrimp", "scrimpab", "stamp", "stomp", "movmax",
     "movmean", "movmean_std", "movmin", "movstd", "movsum", "movsum_ogita",
     "movvar", "muinvn", "zero_crossing",
 ]

@@ -372,17 +372,99 @@ def mpxab(data, query, window_size: int, idxs: bool = True,
     return out
 
 
+def scrimpab(data, query, window_size: int) -> dict:
+    """SCRIMP AB-join (src/scrimp.cpp:461-638), reimplemented with
+    vectorized per-diagonal numpy.
+
+    Faithful reference semantics, including its quirks:
+    * data and query MUST have the same length (R/scrimp.R:33-35 raises
+      "must have the same size using the `scrimp` algorithm (for now)");
+    * ``compute_order = orig_index[orig_index > 1]`` (src/scrimp.cpp:516)
+      visits only diagonals i >= 2 in BOTH passes, so window pairs with
+      |data_off - query_off| <= 1 are never compared — an observable
+      deviation from STOMP-AB / MPXAB that we preserve (and test against a
+      diagonal-masked brute force);
+    * NA/Inf values are zeroed but skip_location is never applied in the
+      AB path (src/scrimp.cpp:473-487 computes it, nothing reads it);
+    * exclusion zone reported as 0; 1-based profile indexes; sqrt at end.
+    """
+    a = _as_f64(data)
+    b = _as_f64(query)
+    w = int(window_size)
+    if a.size != b.size:
+        raise ValueError(
+            "data and query must have the same size for scrimpab "
+            "(R/scrimp.R:33-35)"
+        )
+    n = a.size
+    m = n - w + 1
+
+    ad = _zero_bad(a)
+    bd = _zero_bad(b)
+
+    from .window import movmean_std
+
+    dstats = movmean_std(ad, w)
+    qstats = movmean_std(bd, w)
+    dmean, dsd = dstats["avg"], dstats["sd"]
+    qmean, qsd = qstats["avg"], qstats["sd"]
+
+    mpa = np.full(m, np.inf, dtype=_F64)
+    pia = np.full(m, -1, dtype=np.int64)
+    mpb = np.full(m, np.inf, dtype=_F64)
+    pib = np.full(m, -1, dtype=np.int64)
+
+    def _pass(x, xmean, xsd, y, ymean, ysd, mp_y, pi_y, mp_x, pi_x):
+        """Diagonals i>=2 of (x window j-i) vs (y window j); updates the
+        y-side profile at j (index j-i) and the x-side at j-i (index j)."""
+        for i in range(2, m):
+            z0 = float(np.cumsum(x[0:w] * y[i : i + w])[-1])
+            cnt = m - i  # offsets j = i .. m-1
+            if cnt > 1:
+                terms = (x[w : w + cnt - 1] * y[i + w : i + w + cnt - 1]
+                         - x[0 : cnt - 1] * y[i : i + cnt - 1])
+                z = np.concatenate(([z0], np.cumsum(terms) + z0))
+            else:
+                z = np.array([z0], dtype=_F64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                d = 2 * (w - (z - w * ymean[i:m] * xmean[0:cnt])
+                         / (ysd[i:m] * xsd[0:cnt]))
+            d[d < 0] = 0
+            # y-side profile at offsets i..m-1 (neighbor = x offset j-i)
+            seg = slice(i, m)
+            upd = d < mp_y[seg]
+            mp_y[seg][upd] = d[upd]
+            pi_y[seg][upd] = (np.arange(cnt, dtype=np.int64))[upd]
+            # x-side profile at offsets 0..cnt-1 (neighbor = y offset j)
+            seg2 = slice(0, cnt)
+            upd2 = d < mp_x[seg2]
+            mp_x[seg2][upd2] = d[upd2]
+            pi_x[seg2][upd2] = (np.arange(cnt, dtype=np.int64) + i)[upd2]
+
+    # pass 1: query diagonals (query offset = data offset + i)
+    _pass(ad, dmean, dsd, bd, qmean, qsd, mpb, pib, mpa, pia)
+    # pass 2: data diagonals (data offset = query offset + i)
+    _pass(bd, qmean, qsd, ad, dmean, dsd, mpa, pia, mpb, pib)
+
+    return {
+        "matrix_profile": np.sqrt(mpa),
+        "profile_index": (pia + 1).astype(np.int32),
+        "mpb": np.sqrt(mpb),
+        "pib": (pib + 1).astype(np.int32),
+        "partial": False,
+        "ez": 0,
+    }
+
+
 def scrimp(data, window_size: int, query=None, exclusion_zone: float = 0.5,
            pre_scrimp: float = 0.25) -> dict:
     """SCRIMP++ (src/scrimp.cpp:26-280): PRE-SCRIMP sampled anchors with
     cumsum dot-product refinement, then full diagonal SCRIMP traversal.
 
     AB-join (query != None): the reference's scrimpab_rcpp
-    (src/scrimp.cpp:461-638) computes the same AB/BA-pass result as STOMP's
-    AB join (the cross-algorithm equivalence its own test suite asserts);
-    we delegate to the STOMP AB kernel, cross-checked vs MPXAB in tests."""
+    (src/scrimp.cpp:461-638; same-size series only, R/scrimp.R:33-35)."""
     if query is not None:
-        return stomp(data, window_size, query=query, exclusion_zone=exclusion_zone)
+        return scrimpab(data, query, window_size)
     x = _as_f64(data)
     w = int(window_size)
     ez = float(exclusion_zone)

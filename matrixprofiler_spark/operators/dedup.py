@@ -202,3 +202,58 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "hamming")
     )
+
+
+def duplicate_components(docs: DataFrame, pairs: DataFrame,
+                         max_iters: int = 20) -> DataFrame:
+    """Duplicate clusters from candidate pairs: connected components by
+    iterative min-label propagation, then one keeper per cluster (the
+    smallest doc_id) — the final step of a dedup pipeline (keep-list).
+
+    Each iteration is one join + map-side-combined min aggregation (2
+    bounded shuffles); iterations needed = graph diameter, which for
+    near-dup clusters is tiny. Convergence is checked with a scalar count
+    per iteration. (At 100 TB with adversarial long chains you would swap
+    in alternating large-star/small-star contractions — same DataFrame
+    shape, logarithmic rounds.)
+
+    Returns (doc_id, component_id, is_keeper); singletons keep themselves.
+    """
+    verts = docs.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
+        .distinct()
+        .persist()
+    )
+    labels = verts.select("doc_id", F.col("doc_id").alias("comp")).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.t == labels.doc_id)
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.s, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+        (F.col("doc_id") == F.col("comp")).alias("is_keeper"),
+    )

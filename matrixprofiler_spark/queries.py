@@ -448,6 +448,63 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters: connected components over the MinHash-LSH
+    candidate-pair graph (iterative min-label propagation) + one keeper
+    per cluster — the keep-list step of a dedup pipeline. The oracle
+    replays it as a recursive-CTE transitive closure."""
+    from .operators.dedup import duplicate_components
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8, band_size=2)
+    return duplicate_components(_docs(spark, sf_dir), pairs)
+
+
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         UNNEST([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                 FOR i IN range(1, len(words) - 1)]) AS gram
+  FROM w
+),
+sig AS (
+  SELECT doc_id,
+         MIN(md5(gram || '#0')) AS mh0, MIN(md5(gram || '#1')) AS mh1,
+         MIN(md5(gram || '#2')) AS mh2, MIN(md5(gram || '#3')) AS mh3,
+         MIN(md5(gram || '#4')) AS mh4, MIN(md5(gram || '#5')) AS mh5,
+         MIN(md5(gram || '#6')) AS mh6, MIN(md5(gram || '#7')) AS mh7
+  FROM grams GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig UNION ALL
+  SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
+  SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
+  SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+),
+comp AS (SELECT s AS doc_id, MIN(t) AS mt FROM reach GROUP BY s),
+alldocs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents)
+SELECT d.doc_id,
+       COALESCE(LEAST(c.doc_id, c.mt), d.doc_id) AS component_id,
+       COALESCE(LEAST(c.doc_id, c.mt), d.doc_id) = d.doc_id AS is_keeper
+FROM alldocs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs with the portable md5-bit hash family (the
     production default is xxhash64 — same algorithm, faster JVM hash)."""
@@ -1813,6 +1870,7 @@ def queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1867,6 +1925,7 @@ def oracle_sql() -> dict:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "ann_topk": SQL_ANN_TOPK,
         "ann_srp_buckets": SQL_SRP_BUCKETS,

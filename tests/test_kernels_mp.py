@@ -179,12 +179,54 @@ def test_contrast_pearson_branch(series):
     assert 1 <= res["plato_idx"] <= cp.size
 
 
+def test_scrimpab_vs_masked_bruteforce(series):
+    """The real scrimpab kernel (src/scrimp.cpp:461-638) skips diagonals
+    |data_off - query_off| <= 1 (compute_order > 1, src/scrimp.cpp:516) —
+    verify both profiles against a brute force with those diagonals
+    masked, and the indexes' diagonal gap."""
+    from matrixprofiler_spark.kernels import scrimpab
+
+    q = series[::-1].copy()
+    w = 100
+    r = scrimpab(series, q, w)
+    m = series.size - w + 1
+
+    wa = np.lib.stride_tricks.sliding_window_view(series, w)
+    wb = np.lib.stride_tricks.sliding_window_view(q, w)
+    za = (wa - wa.mean(axis=1, keepdims=True)) / wa.std(axis=1, keepdims=True)
+    zb = (wb - wb.mean(axis=1, keepdims=True)) / wb.std(axis=1, keepdims=True)
+    dist = np.sqrt(np.maximum(((za[:, None, :] - zb[None, :, :]) ** 2).sum(axis=2), 0))
+    idx = np.arange(m)
+    dist[np.abs(idx[:, None] - idx[None, :]) <= 1] = np.inf  # the quirk
+
+    np.testing.assert_allclose(r["matrix_profile"], dist.min(axis=1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(r["mpb"], dist.min(axis=0), rtol=1e-6, atol=1e-6)
+    assert (np.abs((r["profile_index"] - 1) - idx) >= 2).all()
+    assert (np.abs((r["pib"] - 1) - idx) >= 2).all()
+
+
+def test_scrimpab_requires_equal_sizes(series):
+    from matrixprofiler_spark.kernels import scrimpab
+
+    with pytest.raises(ValueError):
+        scrimpab(series, series[:-10], 100)
+
+
 def test_scrimp_ab_join_delegates(series):
+    """scrimp(query=) routes to the real scrimpab kernel; outside the
+    skipped |diag| <= 1 band it agrees with MPXAB."""
     q = series[::-1].copy()
     r1 = scrimp(series, W, query=q)
     r2 = mpxab(series, q, W)
+    # positions whose MPXAB nearest neighbor is outside the skipped band
+    # must agree exactly (same math, different traversal)
+    pos = np.arange(r2["matrix_profile"].size)
+    far = np.abs((r2["profile_index"] - 1) - pos) >= 2
     np.testing.assert_allclose(
-        r1["matrix_profile"], r2["matrix_profile"], rtol=1e-6, atol=1e-6)
+        r1["matrix_profile"][far], r2["matrix_profile"][far],
+        rtol=1e-6, atol=1e-6)
+    assert far.mean() > 0.9  # the band rarely holds the best match here
 
 
 @pytest.mark.parametrize("w", [9, 13])
