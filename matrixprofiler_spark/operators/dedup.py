@@ -186,21 +186,33 @@ def simhash64(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
-                  hash_fn: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked by the
-    16-bit prefix (a real 100-TB run would block on multiple rotations)."""
+                  hash_fn: str = "xxhash64", n_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Blocking: the 64-bit fingerprint is cut into ``n_blocks`` disjoint
+    16-bit slices; docs sharing ANY slice value are candidates (multi-
+    block LSH — recall rises with n_blocks, and each join key stays a
+    bounded-cardinality 16-bit bucket; shift+mask is engine-portable,
+    arithmetic sign-extension masked away)."""
     s = simhash64(docs, hash_fn=hash_fn)
-    # arithmetic shift + mask == unsigned 16-bit prefix (engine-portable)
-    s = s.withColumn("block", F.shiftright("simhash", 48).bitwiseAND(F.lit(65535)))
-    a = s.alias("a")
-    b = s.alias("b")
+    blocks = None
+    for r in range(n_blocks):
+        br = s.select(
+            "doc_id", "simhash",
+            F.lit(r).alias("slice_id"),
+            F.shiftright("simhash", 16 * r).bitwiseAND(F.lit(65535)).alias("block"),
+        )
+        blocks = br if blocks is None else blocks.unionByName(br)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, "block")
+        a.join(b, ["slice_id", "block"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "hamming")
+        .distinct()
     )
 
 

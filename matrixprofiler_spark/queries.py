@@ -537,10 +537,14 @@ b AS (SELECT doc_id,
          {bit_exprs}
       FROM d GROUP BY doc_id),
 s AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM b),
-blk AS (SELECT doc_id, simhash, (simhash >> 48) & 65535 AS block FROM s)
-SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+blk AS (
+  SELECT doc_id, simhash, r AS slice_id,
+         (simhash >> (16 * r)) & 65535 AS block
+  FROM s, (VALUES (0), (1), (2), (3)) v(r)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
-FROM blk a JOIN blk b2 ON a.block = b2.block
+FROM blk a JOIN blk b2 ON a.slice_id = b2.slice_id AND a.block = b2.block
 WHERE a.doc_id < b2.doc_id
   AND bit_count(xor(a.simhash, b2.simhash)) <= 20
 """
