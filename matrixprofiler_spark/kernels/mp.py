@@ -254,33 +254,59 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
     dg = np.concatenate(([0.0], (x[w:n] - mu[1:plen]) + (x[0 : n - w] - mu[0 : n - w])))
     ww = x[0:w] - mu[0]
 
-    for diag in range(exclusion, plen):
-        cc0 = float(np.cumsum((x[diag : diag + w] - mu[diag]) * ww)[-1])
-        off_max = n - w - diag + 1
-        t1 = df[0:off_max] * dg[diag : diag + off_max]
-        t2 = df[diag : diag + off_max] * dg[0:off_max]
-        terms = np.empty(2 * off_max, dtype=_F64)
-        terms[0::2] = t1
-        terms[1::2] = t2
-        terms[0] = cc0 + t1[0]
-        cc_path = np.cumsum(terms)[1::2]  # cc after each offset's two adds
+    # Diagonals are processed in BATCHES: the interleaved-term cumsum runs
+    # as one 2-D cumsum over (batch, 2*off) — per-row sequences are
+    # untouched by batching, so every cc path (and thus every bit) is
+    # identical to the one-diagonal-at-a-time loop. Trailing pad positions
+    # beyond a row's off_max are masked out before the merge. The
+    # min-merge itself stays strictly diagonal-ordered (tie semantics).
+    # batch budget ~2^18 elements: keeps the (batch x 2*plen) working set L2-ish
+    # (tuned min-of-3 at plen 4k/16k; larger batches thrash cache)
+    diag_batch = max(4, min(256, (1 << 18) // max(plen, 1)))
+    windows = np.lib.stride_tricks.sliding_window_view(x, w)
+    arange_plen = np.arange(plen, dtype=np.int32)
+    for d0 in range(exclusion, plen, diag_batch):
+        d1 = min(d0 + diag_batch, plen)
+        B = d1 - d0
+        maxoff = plen - d0
+        # cc0 per diagonal: sequential w-term cumsum per row
+        P = (windows[d0:d1] - mu[d0:d1, None]) * ww[None, :]
+        cc0 = np.cumsum(P, axis=1)[:, -1]
+        # suffix views via zero-padded sliding windows: row i = arr[d0+i:]
+        dgp = np.pad(dg, (0, B))
+        dfp = np.pad(df, (0, B))
+        sgp = np.pad(sig, (0, B))
+        dg_s = np.lib.stride_tricks.sliding_window_view(dgp, maxoff)[d0:d1]
+        df_s = np.lib.stride_tricks.sliding_window_view(dfp, maxoff)[d0:d1]
+        sg_s = np.lib.stride_tricks.sliding_window_view(sgp, maxoff)[d0:d1]
+        t1 = df[None, 0:maxoff] * dg_s
+        t2 = df_s * dg[None, 0:maxoff]
+        terms = np.empty((B, 2 * maxoff), dtype=_F64)
+        terms[:, 0::2] = t1
+        terms[:, 1::2] = t2
+        terms[:, 0] = cc0 + t1[:, 0]
+        cc_path = np.cumsum(terms, axis=1)[:, 1::2]
         with np.errstate(invalid="ignore"):
-            c_cmp = (cc_path * sig[0:off_max]) * sig[diag : diag + off_max]
+            c_all = (cc_path * sig[None, 0:maxoff]) * sg_s
 
-        # off_diag (cand2) writes land strictly before the offset (cand1)
-        # comparison for any shared position (step k-diag < step k), so two
-        # vectorized strict-> passes in that order reproduce the sequential
-        # tie behavior exactly.
-        seg = slice(diag, diag + off_max)
-        upd2 = c_cmp > mp[seg]
-        mp[seg][upd2] = c_cmp[upd2]
-        if idxs:
-            mpi[seg][upd2] = np.arange(1, off_max + 1, dtype=np.int32)[upd2]
+        for i in range(B):
+            diag = d0 + i
+            off_max = plen - diag
+            c_cmp = c_all[i, :off_max]
+            # off_diag (cand2) writes land strictly before the offset
+            # (cand1) comparison for any shared position (step k-diag <
+            # step k), so two vectorized strict-> passes in that order
+            # reproduce the sequential tie behavior exactly.
+            seg = slice(diag, diag + off_max)
+            upd2 = c_cmp > mp[seg]
+            mp[seg][upd2] = c_cmp[upd2]
+            if idxs:
+                mpi[seg][upd2] = (arange_plen[:off_max] + 1)[upd2]
 
-        upd1 = c_cmp > mp[0:off_max]
-        mp[0:off_max][upd1] = c_cmp[upd1]
-        if idxs:
-            mpi[0:off_max][upd1] = (np.arange(off_max, dtype=np.int32) + diag + 1)[upd1]
+            upd1 = c_cmp > mp[0:off_max]
+            mp[0:off_max][upd1] = c_cmp[upd1]
+            if idxs:
+                mpi[0:off_max][upd1] = (arange_plen[:off_max] + diag + 1)[upd1]
 
     mp[mp > 1.0] = 1.0
     if euclidean:
