@@ -189,18 +189,25 @@ def gorilla_encode_many(arrays) -> list[bytes]:
     hot path of the per-doc window-stats kernel.
     """
     arrays = [np.ascontiguousarray(a, dtype=np.float64) for a in arrays]
-    sizes = np.array([a.size for a in arrays], dtype=np.int64)
-    n_series = len(arrays)
-    if n_series == 0:
+    all_sizes = np.array([a.size for a in arrays], dtype=np.int64)
+    n_all = len(arrays)
+    if n_all == 0:
         return []
-    total = int(sizes.sum())
+    total = int(all_sizes.sum())
     if total == 0:
         return [np.uint32(0).tobytes() for _ in arrays]
 
-    v = np.concatenate(arrays).view(np.uint64)
+    # work only over non-empty series (an empty series between/after
+    # non-empty ones would otherwise produce out-of-range reduceat starts)
+    keep = np.nonzero(all_sizes > 0)[0]
+    arrays_ne = [arrays[i] for i in keep]
+    sizes = all_sizes[keep]
+    n_series = sizes.size
+
+    v = np.concatenate(arrays_ne).view(np.uint64)
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
     is_first = np.zeros(total, dtype=bool)
-    is_first[starts[sizes > 0]] = True
+    is_first[starts] = True
 
     xor = np.zeros(total, dtype=np.uint64)
     xor[1:] = v[1:] ^ v[:-1]
@@ -240,13 +247,10 @@ def gorilla_encode_many(arrays) -> list[bytes]:
     # repeats are control bit '0' (already zeroed)
 
     packed = np.packbits(bitbuf)
-    out = []
     byte_starts = series_bit_starts // 8
     byte_lens = padded_bits // 8
-    for i in range(n_series):
-        if sizes[i] == 0:
-            out.append(np.uint32(0).tobytes())
-            continue
-        body = packed[byte_starts[i] : byte_starts[i] + byte_lens[i]].tobytes()
-        out.append(np.uint32(sizes[i]).tobytes() + body)
+    out: list[bytes] = [np.uint32(0).tobytes()] * n_all
+    for j in range(n_series):
+        body = packed[byte_starts[j] : byte_starts[j] + byte_lens[j]].tobytes()
+        out[int(keep[j])] = np.uint32(sizes[j]).tobytes() + body
     return out
