@@ -88,3 +88,126 @@ def matrix_profile_blobs(tokens_df: DataFrame, w: int, algo: str = "mpx",
     return df.select("doc_id", "source", "tokens").mapInPandas(
         kernel, schema=MP_BLOBS_SCHEMA
     )
+
+
+def matrix_profile_distributed(tokens_df: DataFrame, w: int, ez: float = 0.5,
+                               chunk_len: int = 2048,
+                               num_partitions: int | None = None) -> DataFrame:
+    """EXACT self-join matrix profile where one DOC spans many tasks.
+
+    The per-doc O(n^2) distance matrix is tiled into (chunk_i x chunk_j)
+    blocks: offset-range chunks with w-1 overlap (chunk_tokens) are
+    self-joined per doc, each block computes its exact-integer distance
+    tile in one Arrow task (int64 matmul + the oracle IEEE expression
+    tree), emits per-row partial minima, and a map-side-combinable
+    groupBy(doc, off) min-merge produces the global profile. Ties break
+    on the smaller neighbor offset via lexicographic struct min — the
+    same (dist, nn) order as the one-task face, so results are
+    bit-identical to matrix_profile_exact (tested) and to the DuckDB
+    all-pairs oracle.
+
+    This is the scale path the single-task-per-doc operator cannot offer:
+    a 10M-token doc becomes (n/chunk_len)^2 independent tasks instead of
+    one straggler (reference analog: the TBB tile scheduling of
+    src/stomp.cpp:373-378, re-expressed as a Spark shuffle)."""
+    from ..kernels.mp import c_round
+    from .rollup import chunk_tokens
+
+    exclusion = c_round(w * ez + np.finfo(np.float64).eps)
+    chunks = chunk_tokens(tokens_df.filter(F.size("tokens") >= 2 * w), w, chunk_len)
+    a = chunks.select(
+        "doc_id", F.col("chunk_off").alias("a_off"), F.col("tokens").alias("a_tok")
+    )
+    b = chunks.select(
+        "doc_id", F.col("chunk_off").alias("b_off"), F.col("tokens").alias("b_tok")
+    )
+    tiles = a.join(b, "doc_id")
+    if num_partitions:
+        tiles = tiles.repartition(
+            num_partitions,
+            F.pmod(F.xxhash64("doc_id", "a_off", "b_off"), F.lit(num_partitions)),
+        )
+
+    part_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("off", T.IntegerType(), False),
+            T.StructField("d", T.DoubleType(), False),
+            T.StructField("nn", T.IntegerType(), False),
+        ]
+    )
+
+    def tile_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            parts = []
+            for doc_id, a_off, a_tok, b_off, b_tok in zip(
+                batch["doc_id"], batch["a_off"], batch["a_tok"],
+                batch["b_off"], batch["b_tok"],
+            ):
+                ai = np.asarray(a_tok, dtype=np.int64)
+                bi = np.asarray(b_tok, dtype=np.int64)
+                na, nb = ai.size - w + 1, bi.size - w + 1
+                if na <= 0 or nb <= 0:
+                    continue
+                gi = int(a_off) + np.arange(na)   # global window offsets
+                gj = int(b_off) + np.arange(nb)
+                # skip tiles that lie entirely inside the exclusion band
+                if max(abs(gi[0] - gj[-1]), abs(gi[-1] - gj[0])) <= exclusion:
+                    continue
+                ca = np.concatenate(([np.int64(0)], np.cumsum(ai)))
+                ca2 = np.concatenate(([np.int64(0)], np.cumsum(ai * ai)))
+                sa = ca[w:] - ca[:-w]
+                sa2 = ca2[w:] - ca2[:-w]
+                mu_a = sa / float(w)
+                cb = np.concatenate(([np.int64(0)], np.cumsum(bi)))
+                cb2 = np.concatenate(([np.int64(0)], np.cumsum(bi * bi)))
+                sb = cb[w:] - cb[:-w]
+                sb2 = cb2[w:] - cb2[:-w]
+                mu_b = sb / float(w)
+                with np.errstate(invalid="ignore"):
+                    sd_a = np.sqrt(sa2 / float(w) - mu_a * mu_a)
+                    sd_b = np.sqrt(sb2 / float(w) - mu_b * mu_b)
+                wa = np.lib.stride_tricks.sliding_window_view(ai, w)
+                wb = np.lib.stride_tricks.sliding_window_view(bi, w)
+                qt = wa @ wb.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dist = 2 * (w - (qt - w * mu_a[:, None] * mu_b[None, :])
+                                / (sd_a[:, None] * sd_b[None, :]))
+                dist[dist < 0] = 0
+                ok_a = sd_a > 0
+                ok_b = sd_b > 0
+                dist[~ok_a, :] = np.inf
+                dist[:, ~ok_b] = np.inf
+                dist[np.abs(gi[:, None] - gj[None, :]) <= exclusion] = np.inf
+                nn_local = np.argmin(dist, axis=1)
+                dmin = dist[np.arange(na), nn_local]
+                fin = np.isfinite(dmin) & ok_a
+                if not fin.any():
+                    continue
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "off": gi[fin].astype(np.int32),
+                            "d": dmin[fin],
+                            "nn": gj[nn_local[fin]].astype(np.int32),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in part_schema.fields})
+            )
+
+    partials = tiles.mapInPandas(tile_kernel, schema=part_schema)
+    # global min-merge; struct min orders (d, nn) lexicographically ->
+    # identical tie-break (smallest neighbor) to the one-task face
+    merged = partials.groupBy("doc_id", "off").agg(
+        F.min(F.struct("d", "nn")).alias("best")
+    )
+    return merged.select(
+        "doc_id", "off",
+        F.sqrt(F.col("best.d")).alias("mp"),
+        F.col("best.nn").alias("nn_off"),
+    )

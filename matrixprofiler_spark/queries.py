@@ -310,6 +310,15 @@ def q_matrix_profile_w8(spark, sf_dir):
     return matrix_profile_exact(_tok(spark, sf_dir), W, ez=0.5)
 
 
+def q_matrix_profile_w8_dist(spark, sf_dir):
+    """The TILED distributed matrix profile (one doc spans many tasks:
+    chunk-pair tiles + min-merge, operators/mp_ops.py) — bit-identical to
+    the one-task face and to the same all-pairs SQL oracle."""
+    from .operators.mp_ops import matrix_profile_distributed
+
+    return matrix_profile_distributed(_tok(spark, sf_dir), W, ez=0.5, chunk_len=24)
+
+
 _EZ = 4  # round(8 * 0.5 + eps), src/stomp.cpp:29
 
 SQL_MATRIX_PROFILE_W8 = f"""
@@ -1871,6 +1880,7 @@ def queries() -> dict:
         "mode_token": q_mode_token,
         "mass_w8": q_mass_w8,
         "matrix_profile_w8": q_matrix_profile_w8,
+        "matrix_profile_w8_dist": q_matrix_profile_w8_dist,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1926,6 +1936,7 @@ def oracle_sql() -> dict:
         "mode_token": SQL_MODE_TOKEN,
         "mass_w8": SQL_MASS_W8,
         "matrix_profile_w8": SQL_MATRIX_PROFILE_W8,
+        "matrix_profile_w8_dist": SQL_MATRIX_PROFILE_W8,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,

@@ -240,3 +240,20 @@ def test_matrix_profile_blobs(spark, tokens, goldens):
     ref_pi = np.asarray(goldens["mpx"]["profile_index"])
     agree = (gpi == ref_pi).mean()
     assert agree > 0.99, agree
+
+
+def test_matrix_profile_distributed_bitexact(spark):
+    """The tiled distributed MP (one doc -> many tasks) must equal the
+    one-task exact face bit-for-bit, including tie-breaks, at any
+    chunking."""
+    from matrixprofiler_spark.operators.mp_ops import matrix_profile_distributed
+    from matrixprofiler_spark.operators.windows import matrix_profile_exact
+    from matrixprofiler_spark.sources.tokens import chars_from_documents
+
+    chars = chars_from_documents(spark, "/root/testdata/sf0.001", 256).limit(40)
+    ref = {(r.doc_id, r.off): (r.mp, r.nn_off)
+           for r in matrix_profile_exact(chars, 32, ez=0.5).collect()}
+    for chunk_len in (64, 100):
+        got = {(r.doc_id, r.off): (r.mp, r.nn_off)
+               for r in matrix_profile_distributed(chars, 32, chunk_len=chunk_len).collect()}
+        assert got == ref, chunk_len
