@@ -54,8 +54,8 @@ def _win_stats(xi: np.ndarray, w: int):
 def _dist_matrix(xi: np.ndarray, w: int, mu, sd):
     """All-pairs squared z-norm ED from exact int64 dot products, the
     oracle's 2*(w - (qt - w*mu_i*mu_j)/(sd_i*sd_j)) tree, clipped at 0."""
-    windows = np.lib.stride_tricks.sliding_window_view(xi, w)
-    qt = windows @ windows.T  # exact int64
+    wf = np.lib.stride_tricks.sliding_window_view(xi, w).astype(np.float64)
+    qt = wf @ wf.T  # exact: integer-valued doubles below 2^53 (BLAS)
     with np.errstate(divide="ignore", invalid="ignore"):
         dist = 2 * (w - (qt - w * mu[:, None] * mu[None, :])
                     / (sd[:, None] * sd[None, :]))
@@ -182,8 +182,8 @@ def mp_pearson_face(tokens_df: DataFrame, w: int, ez: float = 0.5,
                 plen = n - w + 1
                 s, s2, mu, sd = _win_stats(xi, w)
                 ok = sd > 0
-                windows = np.lib.stride_tricks.sliding_window_view(xi, w)
-                qt = windows @ windows.T
+                wf = np.lib.stride_tricks.sliding_window_view(xi, w).astype(np.float64)
+                qt = wf @ wf.T  # exact below 2^53 (BLAS)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sig = 1.0 / np.sqrt(s2 - mu * mu * w)
                     corr = ((qt - w * mu[:, None] * mu[None, :])
@@ -272,9 +272,9 @@ def mpxab_face(tokens_df: DataFrame, w: int, tol: float = 1e-8) -> DataFrame:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sig_a = 1.0 / np.sqrt(sa2 - mu_a * mu_a * w)
                     sig_b = 1.0 / np.sqrt(sb2 - mu_b * mu_b * w)
-                wa = np.lib.stride_tricks.sliding_window_view(ai, w)
-                wb = np.lib.stride_tricks.sliding_window_view(bi, w)
-                qt = wa @ wb.T  # exact int64, plen_a x plen_b
+                wa = np.lib.stride_tricks.sliding_window_view(ai, w).astype(np.float64)
+                wb = np.lib.stride_tricks.sliding_window_view(bi, w).astype(np.float64)
+                qt = wa @ wb.T  # exact below 2^53 (BLAS), plen_a x plen_b
                 with np.errstate(invalid="ignore"):
                     corr = ((qt - w * mu_a[:, None] * mu_b[None, :])
                             * sig_a[:, None]) * sig_b[None, :]
@@ -349,8 +349,8 @@ def contrast_face(tokens_df: DataFrame, w: int, tol: float = 1e-8) -> DataFrame:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sig_p = 1.0 / np.sqrt(sp2 - mu_p * mu_p * w)
                     sig_n = 1.0 / np.sqrt(sn2 - mu_n * mu_n * w)
-                wp = np.lib.stride_tricks.sliding_window_view(pi_, w)
-                wn = np.lib.stride_tricks.sliding_window_view(ni, w)
+                wp = np.lib.stride_tricks.sliding_window_view(pi_, w).astype(np.float64)
+                wn = np.lib.stride_tricks.sliding_window_view(ni, w).astype(np.float64)
                 ok = sd_p > 0
 
                 # self-join (AA) in Pearson space, MPX exclusion
@@ -443,9 +443,9 @@ def mass_face(tokens_df: DataFrame, w: int, kind: str = "normalized",
                     continue
                 plen = n - w + 1
                 s, s2, mu, sd = _win_stats(xi, w)
-                windows = np.lib.stride_tricks.sliding_window_view(xi, w)
+                windows = np.lib.stride_tricks.sliding_window_view(xi, w).astype(np.float64)
                 q = xi[:w]
-                qt = windows @ q  # exact int64
+                qt = windows @ q.astype(np.float64)  # exact below 2^53 (BLAS)
                 xf = xi.astype(np.float64)
 
                 if kind == "normalized":

@@ -167,9 +167,9 @@ def matrix_profile_distributed(tokens_df: DataFrame, w: int, ez: float = 0.5,
                 with np.errstate(invalid="ignore"):
                     sd_a = np.sqrt(sa2 / float(w) - mu_a * mu_a)
                     sd_b = np.sqrt(sb2 / float(w) - mu_b * mu_b)
-                wa = np.lib.stride_tricks.sliding_window_view(ai, w)
-                wb = np.lib.stride_tricks.sliding_window_view(bi, w)
-                qt = wa @ wb.T
+                wa = np.lib.stride_tricks.sliding_window_view(ai, w).astype(np.float64)
+                wb = np.lib.stride_tricks.sliding_window_view(bi, w).astype(np.float64)
+                qt = wa @ wb.T  # exact below 2^53 (BLAS)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     dist = 2 * (w - (qt - w * mu_a[:, None] * mu_b[None, :])
                                 / (sd_a[:, None] * sd_b[None, :]))

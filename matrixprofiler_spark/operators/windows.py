@@ -150,9 +150,10 @@ def mass_profile_exact(tokens_df: DataFrame, w: int, query_off: int = 0) -> Data
                 mu = s / float(w)
                 sd = np.sqrt(s2 / float(w) - mu * mu)
                 q = xi[query_off : query_off + w]
-                # exact int64 sliding dot products
+                # exact sliding dot products: w * max_tok^2 << 2^53, so
+                # float64 BLAS returns bit-identical integer-valued doubles
                 windows = np.lib.stride_tricks.sliding_window_view(xi, w)
-                qt = (windows * q).sum(axis=1)
+                qt = windows.astype(np.float64) @ q.astype(np.float64)
                 mu_q, sd_q = mu[query_off], sd[query_off]
                 if not sd_q > 0:
                     continue
@@ -209,10 +210,10 @@ def matrix_profile_exact(tokens_df: DataFrame, w: int, ez: float = 0.5) -> DataF
                 mu = s / float(w)
                 sd = np.sqrt(s2 / float(w) - mu * mu)
                 ok = sd > 0
-                windows = np.lib.stride_tricks.sliding_window_view(xi, w)
-                # all-pairs exact integer dot products (n is small on the
-                # oracle path; the FFT/STOMP kernels handle large docs)
-                qt = windows @ windows.T
+                wf = np.lib.stride_tricks.sliding_window_view(xi, w).astype(np.float64)
+                # all-pairs exact dot products via BLAS (integer-valued
+                # doubles stay exact below 2^53 — bit-identical to int64)
+                qt = wf @ wf.T
                 with np.errstate(divide="ignore", invalid="ignore"):
                     dist = 2 * (w - (qt - w * mu[:, None] * mu[None, :])
                                 / (sd[:, None] * sd[None, :]))
