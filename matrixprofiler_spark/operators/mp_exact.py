@@ -125,7 +125,8 @@ def mp_dist_face(tokens_df: DataFrame, w: int, ez: float = 0.5,
 
                 kr = kfn(xi.astype(np.float64), w, exclusion_zone=ez)
                 kv = np.asarray(kr["matrix_profile"], dtype=np.float64)
-                close = np.abs(kv - mp) <= tol
+                with np.errstate(invalid="ignore"):
+                    close = np.abs(kv - mp) <= tol
 
                 cols = {
                     "doc_id": doc_id,
