@@ -4,9 +4,11 @@ top-level "queries" (stomp/mpx/mass) as distributed per-doc kernels.
 Each doc's token series is one kernel invocation (the direct analog of the
 reference's per-series C++ calls, SURVEY.md §2.10); results are emitted as
 Gorilla/DoD-compressed binary columns like the rollup tiers. Cost is
-O(n^2) per doc (vectorized diagonals), so the operator takes a
-``max_tokens`` cap and relies on salted partitioning for skew: at w=128 a
-16k-token doc is ~2.3s of kernel time, a mean-length doc ~0.15s.
+O(n^2) per doc (vectorized diagonals), so the per-doc operator takes an
+explicit ``max_tokens`` cap (flagged, never silent) and relies on salted
+partitioning for skew; ``matrix_profile_distributed`` below removes the
+one-task-per-doc limit entirely by tiling the distance matrix across
+tasks.
 """
 
 from __future__ import annotations
