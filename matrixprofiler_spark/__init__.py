@@ -13,4 +13,4 @@ Layout:
     streaming/  incremental/resume orchestration (snapshot checkpoints)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
