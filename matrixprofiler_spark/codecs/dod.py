@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .gorilla import _BitReader, _emit_bits
+from .gorilla import _BitReader, _assemble, _dshift
 
 _BUCKETS = (
     (7, -63, 64),
@@ -35,10 +35,17 @@ def dod_encode(values: np.ndarray) -> bytes:
     header = np.uint32(n).tobytes()
     if n == 0:
         return header
+
+    def rec(X, bit_off, nbits_after):
+        """One field as a (hi, lo, byte_off) record: X's value ends
+        ``nbits_after`` bits after ``bit_off``."""
+        p = bit_off & 7
+        hi, lo = _dshift(np.asarray(X, dtype=np.uint64), 128 - p - nbits_after)
+        return hi, lo, bit_off >> 3
+
+    z64 = np.zeros(1, dtype=np.int64)
     if n == 1:
-        bitbuf = np.zeros(64, dtype=np.uint8)
-        _emit_bits(bitbuf, np.array([0]), v.view(np.uint64), 64)
-        return header + np.packbits(bitbuf).tobytes()
+        return header + _assemble([rec(v[:1].view(np.uint64), z64, 64)], 8).tobytes()
 
     delta = np.diff(v)
     dod = np.diff(delta) if n > 2 else np.empty(0, dtype=np.int64)
@@ -55,25 +62,34 @@ def dod_encode(values: np.ndarray) -> bytes:
         [1, 2 + 7, 3 + 9, 4 + 12, 4 + 64],
     ).astype(np.int64)
     total = 128 + int(nbits.sum())
-    bitbuf = np.zeros(total, dtype=np.uint8)
-    _emit_bits(bitbuf, np.array([0]), v[:1].view(np.uint64), 64)
-    _emit_bits(bitbuf, np.array([64]), delta[:1].astype(np.int64).view(np.uint64), 64)
+    total_bytes = (total + 7) // 8
 
-    starts = 128 + np.concatenate(([0], np.cumsum(nbits)[:-1])) if m else np.empty(0, np.int64)
-    # control prefixes
-    for mask, prefix in ((fit7, "10"), (fit9, "110"), (fit12, "1110"), (full, "1111")):
-        for k, ch in enumerate(prefix):
-            if ch == "1":
-                bitbuf[starts[mask] + k] = 1
-    # payloads (biased into unsigned range)
-    for (w, lo, hi), mask, plen in zip(_BUCKETS, (fit7, fit9, fit12), (2, 3, 4)):
-        if mask.any():
-            biased = (dod[mask] - lo).astype(np.uint64)
-            _emit_bits(bitbuf, starts[mask] + plen, biased, w)
-    if full.any():
-        _emit_bits(bitbuf, starts[full] + 4, dod[full].view(np.uint64), 64)
+    recs = [
+        rec(v[:1].view(np.uint64), z64, 64),
+        rec(delta[:1].astype(np.int64).view(np.uint64), z64 + 64, 64),
+    ]
+    starts = (128 + np.concatenate(([0], np.cumsum(nbits)[:-1]))
+              if m else np.empty(0, np.int64))
+    # control prefix + biased payload per class ('10','110','1110','1111'),
+    # OR-merged into one record per value
+    for (w, lo_b, _hi), mask, prefix, plen in (
+        (_BUCKETS[0], fit7, 2, 2),
+        (_BUCKETS[1], fit9, 6, 3),
+        (_BUCKETS[2], fit12, 14, 4),
+        ((64, None, None), full, 15, 4),
+    ):
+        if not mask.any():
+            continue
+        so = starts[mask]
+        p = so & 7
+        h1, l1 = _dshift(np.full(int(mask.sum()), prefix, dtype=np.uint64),
+                         128 - p - plen)
+        payload = (dod[mask].view(np.uint64) if lo_b is None
+                   else (dod[mask] - lo_b).astype(np.uint64))
+        h2, l2 = _dshift(payload, 128 - p - plen - w)
+        recs.append((h1 | h2, l1 | l2, so >> 3))
 
-    return header + np.packbits(bitbuf).tobytes()
+    return header + _assemble(recs, total_bytes).tobytes()
 
 
 def dod_decode(data: bytes) -> np.ndarray:

@@ -51,46 +51,62 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def _emit_bits(bitbuf: np.ndarray, offsets: np.ndarray, field: np.ndarray,
-               width, mask: np.ndarray | None = None) -> None:
-    """Write `width`-bit big-endian fields at per-value bit offsets.
+def _dshift(X: np.ndarray, t: np.ndarray):
+    """(hi, lo) uint64 halves of the 128-bit value X << t (0 <= t <= 127,
+    X < 2^64); numpy shifts are masked to stay defined."""
+    X = X.astype(np.uint64)
+    t = np.asarray(t, dtype=np.int64)
+    ge64 = t >= 64
+    sh_hi = np.where(ge64, t - 64, 0).astype(np.uint64)
+    sh_lo_r = np.where(ge64, 0, (64 - t).clip(0, 63)).astype(np.uint64)
+    sh_lo_l = np.where(ge64, 0, t.clip(0, 63)).astype(np.uint64)
+    lo_r = np.where((~ge64) & (t == 0), X, 0)  # t==0: no hi contribution
+    hi = np.where(ge64, X << sh_hi, np.where(t == 0, 0, X >> sh_lo_r))
+    lo = np.where(ge64, np.uint64(0), np.where(t == 0, lo_r, X << sh_lo_l))
+    return hi, lo
 
-    width may be a scalar int or per-value int array (variable width).
-    Fixed width: one vectorized pass per bit position. Variable width:
-    values are sorted by width descending so bit-position k only touches
-    the values that actually have a k-th bit — total work is proportional
-    to the total number of bits written, not values x max width."""
-    if np.isscalar(width):
-        if mask is not None:
-            offsets = offsets[mask]
-            field = field[mask]
-        w = int(width)
-        for k in range(w):
-            shift = np.uint64(w - 1 - k)
-            bits = ((field >> shift) & np.uint64(1)).astype(np.uint8)
-            bitbuf[offsets + k] = bits
-        return
 
-    widths = np.asarray(width, dtype=np.int64)
-    if mask is not None:
-        offsets = offsets[mask]
-        field = field[mask]
-        widths = widths[mask]
-    if widths.size == 0:
-        return
-    order = np.argsort(-widths, kind="stable")
-    offsets = offsets[order]
-    field = field[order]
-    widths = widths[order]
-    neg_ws = -widths  # ascending
-    maxw = int(widths[0])
-    for k in range(maxw):
-        cnt = int(np.searchsorted(neg_ws, -k, side="left"))
-        if cnt == 0:
-            break
-        shift = (widths[:cnt] - 1 - k).astype(np.uint64)
-        bits = ((field[:cnt] >> shift) & np.uint64(1)).astype(np.uint8)
-        bitbuf[offsets[:cnt] + k] = bits
+def _assemble(recs, total_bytes: int) -> np.ndarray:
+    """Byte-lane bitstream assembly: every record arrives as the (hi, lo)
+    uint64 halves of its 128-bit window (anchored at its start byte) plus
+    the byte offset, and all records are accumulated into the buffer with
+    ONE weighted bincount over 16 byte lanes. Distinct records never share
+    a BIT, so byte-wise addition == bitwise OR. Cost is O(records), not
+    O(total bits) — no per-bit scatter.
+
+    ``recs`` is a list of (hi, lo, byte_off) uint64/int64 arrays."""
+    his = np.concatenate([h for h, _, _ in recs])
+    los = np.concatenate([l for _, l, _ in recs])
+    offs = np.concatenate([o for _, _, o in recs])
+    if his.size == 0:
+        return np.zeros(total_bytes, dtype=np.uint8)
+    b16 = np.concatenate(
+        [his.byteswap().view(np.uint8).reshape(-1, 8),
+         los.byteswap().view(np.uint8).reshape(-1, 8)], axis=1
+    )
+    positions = (offs[:, None] + np.arange(16, dtype=np.int64)).ravel()
+    buf = np.bincount(positions, weights=b16.ravel(),
+                      minlength=total_bytes + 16)
+    return buf[:total_bytes].astype(np.uint8)
+
+
+def _records(bits_first, first_bitoffs, lz, siglen, meaningful, nz_bitoffs):
+    """(hi, lo, byte_off) records for first-value raw fields and
+    '11'-branch fields (prefix13 and meaningful OR-merged per value)."""
+    recs = []
+    if bits_first.size:
+        p = first_bitoffs & 7
+        hi, lo = _dshift(bits_first, 64 - p)
+        recs.append((hi, lo, first_bitoffs >> 3))
+    if lz.size:
+        p = nz_bitoffs & 7
+        prefix13 = ((np.uint64(3) << np.uint64(11))
+                    | (lz.astype(np.uint64) << np.uint64(6))
+                    | ((siglen - 1).clip(0).astype(np.uint64)))
+        h1, l1 = _dshift(prefix13, 115 - p)
+        h2, l2 = _dshift(meaningful, 128 - p - 13 - siglen)
+        recs.append((h1 | h2, l1 | l2, nz_bitoffs >> 3))
+    return recs
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:
@@ -115,25 +131,21 @@ def gorilla_encode(values: np.ndarray) -> bytes:
     # bits per value: 1 for repeats, 2+5+6+siglen otherwise
     nbits = np.where(zero, 1, 13 + siglen)
     total = 64 + int(nbits.sum())
-    bitbuf = np.zeros(total, dtype=np.uint8)
-
-    # first value raw
-    _emit_bits(bitbuf, np.array([0], dtype=np.int64), bits_v[:1], 64)
+    total_bytes = (total + 7) // 8
 
     if n > 1:
         starts = 64 + np.concatenate(([0], np.cumsum(nbits)[:-1]))
         nz = ~zero
-        # control bits: repeats get '0' (already zero-initialized); '11' else
-        bitbuf[starts[nz]] = 1
-        bitbuf[starts[nz] + 1] = 1
-        _emit_bits(bitbuf, starts + 2, lz.astype(np.uint64), 5, mask=nz)
-        # 6-bit sig-len stores length-1 (64 -> 63)
-        _emit_bits(bitbuf, starts + 7, (siglen - 1).clip(0).astype(np.uint64), 6, mask=nz)
         meaningful = np.zeros(n - 1, dtype=np.uint64)
         meaningful[nz] = xor[nz] >> tz[nz].astype(np.uint64)
-        _emit_bits(bitbuf, starts + 13, meaningful, siglen, mask=nz)
+        terms = _records(bits_v[:1], np.zeros(1, dtype=np.int64),
+                         lz[nz], siglen[nz], meaningful[nz], starts[nz])
+    else:
+        terms = _records(bits_v[:1], np.zeros(1, dtype=np.int64),
+                         np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                         np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
 
-    return header + np.packbits(bitbuf).tobytes()
+    return header + _assemble(terms, total_bytes).tobytes()
 
 
 class _BitReader:
@@ -231,22 +243,13 @@ def gorilla_encode_many(arrays) -> list[bytes]:
     within = within - np.repeat(within[starts], sizes)
     offsets = np.repeat(series_bit_starts, sizes) + within
 
-    bitbuf = np.zeros(int(padded_bits.sum()), dtype=np.uint8)
-
-    # first values: raw 64 bits
-    _emit_bits(bitbuf, offsets[is_first], v[is_first], 64)
-    # non-repeat, non-first: '11' + 5b lz + 6b (siglen-1) + meaningful bits
     nz = ~zero & ~is_first
-    bitbuf[offsets[nz]] = 1
-    bitbuf[offsets[nz] + 1] = 1
-    _emit_bits(bitbuf, offsets[nz] + 2, lz[nz].astype(np.uint64), 5)
-    _emit_bits(bitbuf, offsets[nz] + 7, (siglen[nz] - 1).clip(0).astype(np.uint64), 6)
     meaningful = np.zeros(total, dtype=np.uint64)
     meaningful[nz] = xor[nz] >> tz[nz].astype(np.uint64)
-    _emit_bits(bitbuf, offsets[nz] + 13, meaningful[nz], siglen[nz])
-    # repeats are control bit '0' (already zeroed)
-
-    packed = np.packbits(bitbuf)
+    total_bytes = int(padded_bits.sum()) // 8
+    terms = _records(v[is_first], offsets[is_first],
+                     lz[nz], siglen[nz], meaningful[nz], offsets[nz])
+    packed = _assemble(terms, total_bytes)
     byte_starts = series_bit_starts // 8
     byte_lens = padded_bits // 8
     out: list[bytes] = [np.uint32(0).tobytes()] * n_all
