@@ -80,13 +80,27 @@ def _assemble(recs, total_bytes: int) -> np.ndarray:
     offs = np.concatenate([o for _, _, o in recs])
     if his.size == 0:
         return np.zeros(total_bytes, dtype=np.uint8)
-    b16 = np.concatenate(
-        [his.byteswap().view(np.uint8).reshape(-1, 8),
-         los.byteswap().view(np.uint8).reshape(-1, 8)], axis=1
-    )
-    positions = (offs[:, None] + np.arange(16, dtype=np.int64)).ravel()
-    buf = np.bincount(positions, weights=b16.ravel(),
-                      minlength=total_bytes + 16)
+    lanes = np.arange(16, dtype=np.int64)
+    # slice the accumulation so the positions/weights temporaries stay
+    # bounded (~4M int64) no matter how many records one Arrow batch packs
+    step = 1 << 18
+    if his.size <= step:
+        b16 = np.concatenate(
+            [his.byteswap().view(np.uint8).reshape(-1, 8),
+             los.byteswap().view(np.uint8).reshape(-1, 8)], axis=1
+        )
+        buf = np.bincount((offs[:, None] + lanes).ravel(),
+                          weights=b16.ravel(), minlength=total_bytes + 16)
+        return buf[:total_bytes].astype(np.uint8)
+    buf = np.zeros(total_bytes + 16, dtype=np.float64)
+    for k in range(0, his.size, step):
+        sl = slice(k, k + step)
+        b16 = np.concatenate(
+            [his[sl].byteswap().view(np.uint8).reshape(-1, 8),
+             los[sl].byteswap().view(np.uint8).reshape(-1, 8)], axis=1
+        )
+        buf += np.bincount((offs[sl][:, None] + lanes).ravel(),
+                           weights=b16.ravel(), minlength=total_bytes + 16)
     return buf[:total_bytes].astype(np.uint8)
 
 
@@ -247,11 +261,38 @@ def gorilla_encode_many(arrays) -> list[bytes]:
     meaningful = np.zeros(total, dtype=np.uint64)
     meaningful[nz] = xor[nz] >> tz[nz].astype(np.uint64)
     total_bytes = int(padded_bits.sum()) // 8
-    terms = _records(v[is_first], offsets[is_first],
-                     lz[nz], siglen[nz], meaningful[nz], offsets[nz])
-    packed = _assemble(terms, total_bytes)
     byte_starts = series_bit_starts // 8
     byte_lens = padded_bits // 8
+
+    # assemble in SERIES GROUPS of ~2^18 values: each group's records only
+    # touch its own byte range (series streams are byte-padded), so both
+    # the bincount temporaries and its output stay cache-sized no matter
+    # how many series one Arrow batch packs.
+    step = 1 << 18
+    packed = np.empty(total_bytes, dtype=np.uint8)
+    ends = np.cumsum(sizes)
+    g0 = 0
+    while g0 < n_series:
+        g1 = g0
+        vals = 0
+        while g1 < n_series and (vals == 0 or vals + sizes[g1] <= step):
+            vals += sizes[g1]
+            g1 += 1
+        v0 = int(starts[g0])
+        v1 = int(ends[g1 - 1])
+        gb0 = int(byte_starts[g0])
+        gbytes = int(byte_starts[g1 - 1] + byte_lens[g1 - 1]) - gb0
+        sel = slice(v0, v1)
+        loc_first = is_first[sel]
+        loc_nz = nz[sel]
+        loc_off = offsets[sel] - gb0 * 8
+        terms = _records(
+            v[sel][loc_first], loc_off[loc_first],
+            lz[sel][loc_nz], siglen[sel][loc_nz],
+            meaningful[sel][loc_nz], loc_off[loc_nz],
+        )
+        packed[gb0 : gb0 + gbytes] = _assemble(terms, gbytes)
+        g0 = g1
     out: list[bytes] = [np.uint32(0).tobytes()] * n_all
     for j in range(n_series):
         body = packed[byte_starts[j] : byte_starts[j] + byte_lens[j]].tobytes()
