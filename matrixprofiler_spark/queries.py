@@ -1578,6 +1578,146 @@ WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), t -> t[1] * t[2])) AS BIG
 
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation funnel per source: dedup keep-list (connected
+    components over MinHash-LSH pairs) x quality gate (stop-word/vowel
+    score >= 0.35 and >= 20 words) -> per-source kept-doc and kept-token
+    counts — the composition a training-data pipeline actually ships."""
+    from .operators.dedup import duplicate_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2)
+    comp = duplicate_components(docs, pairs)
+    ts = text_stats(docs).select(
+        "doc_id",
+        ((F.col("quality") >= 0.35) & F.col("len_ok")).alias("good"),
+        F.col("n_words"),
+    )
+    j = (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.col("doc_id").cast("long").alias("did"), "source")
+        .join(comp, "doc_id")
+        .join(ts.withColumnRenamed("doc_id", "did2"),
+              F.col("did") == F.col("did2"))
+    )
+    keep = F.col("is_keeper") & F.col("good")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_words")).otherwise(0).cast("long")).alias("tok_kept"),
+        (F.sum(keep.cast("long")) / F.count("*")).alias("keep_ratio"),
+    )
+
+
+SQL_CORPUS_CURATION = (
+    SQL_DEDUP_COMPONENTS.rstrip()
+    .replace(
+        """SELECT d.doc_id,
+       COALESCE(LEAST(c.doc_id, c.mt), d.doc_id) AS component_id,
+       COALESCE(LEAST(c.doc_id, c.mt), d.doc_id) = d.doc_id AS is_keeper
+FROM alldocs d LEFT JOIN comp c ON c.doc_id = d.doc_id""",
+        """,
+keepers AS (
+  SELECT d.doc_id,
+         COALESCE(LEAST(c.doc_id, c.mt), d.doc_id) = d.doc_id AS is_keeper
+  FROM alldocs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+q AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stopwords
+  FROM documents
+),
+g AS (
+  SELECT q.source,
+         k.is_keeper AND
+         (0.5 * (q.n_stopwords / CAST(q.n_words AS DOUBLE))
+          + 0.5 * (q.n_vowels / CAST(q.n_chars AS DOUBLE))) >= 0.35
+         AND q.n_words >= 20 AS keep,
+         q.n_words
+  FROM q JOIN keepers k ON k.doc_id = q.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS tok_kept,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS keep_ratio
+FROM g GROUP BY 1""",
+    )
+)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash sampling stratified by source (the reproducible
+    subsample every corpus pipeline needs): keep a doc when its md5-bucket
+    (2 hex digits -> 0..255) < 64 (25%); per-source totals."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|s1"))), 1, 2),
+        16, 10,
+    ).cast("int")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((bucket < 64).cast("long")).alias("n_sampled"),
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH b AS (
+  SELECT source,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || '|s1'), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR) || '|s1'), 2, 1)) - 1) AS bucket
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bucket < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM b GROUP BY 1
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining batches: per source, docs are
+    concatenated in doc_id order and cut into 2048-token context windows
+    (concat-and-cut packing). Per-source windows pack in parallel — the
+    scale-shaped variant of global packing (which is inherently
+    sequential). Emits each doc's window id, offset inside the window,
+    and whether it spans a boundary."""
+    from pyspark.sql.window import Window
+
+    ctx = 2048
+    t = _tok(spark, sf_dir).withColumn("did", F.col("doc_id").cast("long"))
+    w = Window.partitionBy("source").orderBy("did")
+    gstart = F.sum("n_tok").over(w) - F.col("n_tok")
+    return t.select(
+        "doc_id", "source",
+        (gstart / ctx).cast("long").alias("bin_id"),
+        F.pmod(gstart, F.lit(ctx)).cast("int").alias("off_in_bin"),
+        (((gstart + F.col("n_tok") - 1) / ctx).cast("long")
+         > (gstart / ctx).cast("long")).alias("spans_boundary"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH {TOK_CTE},
+n AS (SELECT doc_id, source, MAX(n_tok) AS n_tok FROM pos GROUP BY 1, 2),
+c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY CAST(doc_id AS BIGINT)
+             ROWS UNBOUNDED PRECEDING) - n_tok AS gstart
+  FROM n
+)
+SELECT doc_id, source,
+       CAST(gstart // 2048 AS BIGINT) AS bin_id,
+       CAST(gstart % 2048 AS INT) AS off_in_bin,
+       (gstart + n_tok - 1) // 2048 > gstart // 2048 AS spans_boundary
+FROM c
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary with exact-cents arithmetic
     (broadcastless single groupBy; doubles derived from exact int sums)."""
@@ -1913,6 +2053,9 @@ def queries() -> dict:
         "audio_features": q_audio_features,
         "ann_srp_buckets": q_srp_buckets,
         "ann_srp_pairs": q_srp_pairs,
+        "corpus_curation": q_corpus_curation,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
         "tpch_q1_cents": q_tpch_q1,
         "tpch_top_customers": q_tpch_top_customers,
         "matrix_profile_blobs": q_mp_blobs,
@@ -1969,6 +2112,9 @@ def oracle_sql() -> dict:
         "normalize_params": SQL_NORMALIZE_PARAMS,
         "ed_corr_roundtrip": SQL_ED_CORR,
         "events_rollup_1h": SQL_EVENTS_ROLLUP,
+        "corpus_curation": SQL_CORPUS_CURATION,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "tpch_q1_cents": SQL_TPCH_Q1,
         "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
         "lang_id_trigram": SQL_LANG_ID_TRIGRAM,
