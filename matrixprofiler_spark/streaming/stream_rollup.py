@@ -251,3 +251,182 @@ def incremental_bucket_rollup(spark: SparkSession, input_dir: str, sink_dir: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_tier_rollup(spark: SparkSession, input_dir: str, sink_dir: str,
+                            checkpoint_dir: str, tiers=(60, 3600),
+                            tier_names=("1m", "1h")):
+    """Streaming CONTINUOUS-AGGREGATE CASCADE: one stateful operator emits
+    every retention tier's buckets as they complete (a 1h bucket appears
+    the moment its 3600th token arrives), with per-tier trailing-partial
+    accumulators in state — the streaming face of tier_rollup. Same
+    cumsum/reduceat bucket math as the batch kernel, so completed buckets
+    equal the batch cascade's rows exactly (tested across a restart)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_tiers = len(tiers)
+    chunk_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("chunk_off", T.LongType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("tier", T.StringType(), False),
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("cnt", T.LongType(), False),
+            T.StructField("sum_v", T.LongType(), False),
+            T.StructField("sumsq", T.LongType(), False),
+            T.StructField("min_v", T.IntegerType(), False),
+            T.StructField("max_v", T.IntegerType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("next_off", T.LongType()),
+            T.StructField("cnt", T.ArrayType(T.LongType())),
+            T.StructField("sum_v", T.ArrayType(T.LongType())),
+            T.StructField("sumsq", T.ArrayType(T.LongType())),
+            T.StructField("min_v", T.ArrayType(T.LongType())),
+            T.StructField("max_v", T.ArrayType(T.LongType())),
+            T.StructField("source", T.StringType()),
+            T.StructField("buf_offs", T.ArrayType(T.LongType())),
+            T.StructField("buf_lens", T.ArrayType(T.IntegerType())),
+            T.StructField("buf_toks", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        doc_id = key[0]
+        if state.exists:
+            (next_off, cnts, sums, sqs, mns, mxs, src,
+             b_offs, b_lens, b_toks) = state.get
+            cnts, sums, sqs = list(cnts), list(sums), list(sqs)
+            mns, mxs = list(mns), list(mxs)
+            chunks = []
+            p = 0
+            flat = np.asarray(b_toks if b_toks is not None else [], dtype=np.int64)
+            for off, ln in zip(b_offs or [], b_lens or []):
+                chunks.append((int(off), flat[p : p + ln]))
+                p += ln
+        else:
+            next_off = 0
+            cnts = [0] * n_tiers
+            sums = [0] * n_tiers
+            sqs = [0] * n_tiers
+            mns = [2**31] * n_tiers
+            mxs = [-(2**31)] * n_tiers
+            src = None
+            chunks = []
+
+        for pdf in pdfs:
+            for off, toks, sc in zip(pdf["chunk_off"], pdf["tokens"], pdf["source"]):
+                src = sc
+                chunks.append((int(off), np.asarray(toks, dtype=np.int64)))
+        chunks.sort(key=lambda t: t[0])
+        run, rest = [], []
+        expected = next_off
+        for off, arr in chunks:
+            if off == expected:
+                run.append(arr)
+                expected += arr.size
+            elif off > expected:
+                rest.append((off, arr))
+            else:
+                raise ValueError(f"overlapping chunk for {doc_id} at {off}")
+
+        frames = []
+        if run:
+            x = np.concatenate(run)
+            start = next_off
+            c = np.concatenate(([0], np.cumsum(x)))
+            c2 = np.concatenate(([0], np.cumsum(x * x)))
+            for ti, bs in enumerate(tiers):
+                first_cut = (bs - start % bs) % bs
+                cuts = np.arange(first_cut, x.size + 1, bs)
+                if not cuts.size:
+                    continue
+                xb = x[: cuts[-1]]
+                seg_starts = np.concatenate(([0], cuts[:-1]))
+                nonempty = cuts > seg_starts
+                seg_starts, seg_ends = seg_starts[nonempty], cuts[nonempty]
+                scnt = (seg_ends - seg_starts).astype(np.int64)
+                ssum = c[seg_ends] - c[seg_starts]
+                ssq = c2[seg_ends] - c2[seg_starts]
+                smn = np.minimum.reduceat(xb, seg_starts).astype(np.int64)
+                smx = np.maximum.reduceat(xb, seg_starts).astype(np.int64)
+                bids = (start + seg_starts) // bs
+                if cnts[ti]:
+                    scnt[0] += cnts[ti]
+                    ssum[0] += sums[ti]
+                    ssq[0] += sqs[ti]
+                    smn[0] = min(int(smn[0]), int(mns[ti]))
+                    smx[0] = max(int(smx[0]), int(mxs[ti]))
+                frames.append(pd.DataFrame(
+                    {
+                        "doc_id": doc_id, "source": src,
+                        "tier": tier_names[ti], "bucket": bids,
+                        "cnt": scnt, "sum_v": ssum, "sumsq": ssq,
+                        "min_v": smn.astype(np.int32),
+                        "max_v": smx.astype(np.int32),
+                    }
+                ))
+                cnts[ti], sums[ti], sqs[ti] = 0, 0, 0
+                mns[ti], mxs[ti] = 2**31, -(2**31)
+                tail = x[cuts[-1] :]
+                if tail.size:
+                    cnts[ti] = int(tail.size)
+                    sums[ti] = int(tail.sum())
+                    sqs[ti] = int((tail * tail).sum())
+                    mns[ti] = int(tail.min())
+                    mxs[ti] = int(tail.max())
+            # tiers whose cut never happened accumulate the WHOLE run
+            for ti, bs in enumerate(tiers):
+                first_cut = (bs - start % bs) % bs
+                if np.arange(first_cut, x.size + 1, bs).size:
+                    continue
+                cnts[ti] += int(x.size)
+                sums[ti] += int(x.sum())
+                sqs[ti] += int((x * x).sum())
+                mns[ti] = min(int(mns[ti]), int(x.min()))
+                mxs[ti] = max(int(mxs[ti]), int(x.max()))
+            next_off = expected
+
+        state.update(
+            (
+                int(next_off),
+                [int(v) for v in cnts], [int(v) for v in sums],
+                [int(v) for v in sqs], [int(v) for v in mns],
+                [int(v) for v in mxs], src,
+                [int(o) for o, _ in rest],
+                [int(a.size) for _, a in rest],
+                [int(v) for _, a in rest for v in a],
+            )
+        )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    stream = (
+        spark.readStream.schema(chunk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = stream.groupBy("doc_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -132,3 +132,56 @@ def test_stateful_incremental_rollup(spark, tmp_path):
     for k in want:
         for col in ("cnt", "sum_v", "sumsq", "min_v", "max_v"):
             assert getattr(got[k], col) == getattr(want[k], col), (k, col)
+
+
+def test_streaming_tier_cascade(spark, tmp_path):
+    """Multi-tier continuous aggregates: the stateful cascade emits 1m AND
+    1h buckets as they complete, across a restart, equal to the batch
+    tier cascade's completed buckets."""
+    from matrixprofiler_spark.operators.rollup import cascade_tier, finest_rollup
+    from matrixprofiler_spark.streaming.stream_rollup import incremental_tier_rollup
+
+    inp = str(tmp_path / "tchunks")
+    sink = str(tmp_path / "tsink")
+    ckpt = str(tmp_path / "tckpt")
+
+    docs = {
+        "dA": (np.arange(8000, dtype=np.int64) * 13 % 50257).astype(np.int32),
+        "dB": (np.arange(4200, dtype=np.int64) * 7 % 50257).astype(np.int32),
+    }
+    # two deliveries split mid-1h-bucket; restart in between
+    cut = 3000
+    rows1 = [(k, "web", 0, [int(v) for v in x[:cut]]) for k, x in docs.items()]
+    spark.createDataFrame(
+        rows1, "doc_id string, source string, chunk_off long, tokens array<int>"
+    ).write.parquet(inp)
+    q = incremental_tier_rollup(spark, inp, sink, ckpt)
+    q.awaitTermination(120)
+    mid = spark.read.parquet(sink)
+    assert mid.filter(F.col("tier") == "1h").count() == 0  # none complete yet
+    assert mid.filter(F.col("tier") == "1m").count() == 2 * (cut // 60)
+
+    rows2 = [(k, "web", cut, [int(v) for v in x[cut:]]) for k, x in docs.items()]
+    spark.createDataFrame(
+        rows2, "doc_id string, source string, chunk_off long, tokens array<int>"
+    ).write.mode("append").parquet(inp)
+    q = incremental_tier_rollup(spark, inp, sink, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.tier, r.bucket): (r.cnt, r.sum_v, r.sumsq, r.min_v, r.max_v)
+        for r in spark.read.parquet(sink).collect()
+    }
+    full = spark.createDataFrame(
+        [(k, [int(v) for v in x], int(x.size), "web") for k, x in docs.items()],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    m1 = finest_rollup(full, 60)
+    h1 = cascade_tier(m1, 60, 3600, "1h")
+    batch = m1.unionByName(h1).collect()
+    want = {
+        (r.doc_id, r.tier, r.bucket): (r.cnt, r.sum_v, r.sumsq, r.min_v, r.max_v)
+        for r in batch
+        if (r.bucket + 1) * (60 if r.tier == "1m" else 3600) <= docs[r.doc_id].size
+    }
+    assert got == want
