@@ -43,7 +43,11 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # small Arrow batches: ~64 chunk-rows (~256k tokens) per kernel call
+        # keeps each worker's decode+encode working set cache-resident
+        # (measured min-of-2 both run orders: 64 beats 256/1024 on the
+        # window-stats stage)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .config("spark.driver.memory", "48g")
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
