@@ -74,3 +74,42 @@ def test_whole_stage_codegen_in_cascade(spark):
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
     assert plan.count("+- Exchange") == 1  # one shuffle operator in the tree
+
+
+def test_srp_pairs_no_cartesian(spark):
+    """The SRP candidate join must be an equi-join on bucket — never a
+    cartesian/broadcast-nested-loop over the corpus."""
+    from matrixprofiler_spark.operators.similarity import srp_pairs_above
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(srp_pairs_above(emb, 0.3, n_planes=4))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_distributed_mp_single_merge_shuffle(spark):
+    """The tiled MP's only aggregation shuffle is the (doc, off) min-merge,
+    and the tile self-join is an equi-join on doc_id (no cartesian)."""
+    from matrixprofiler_spark.operators.mp_ops import matrix_profile_distributed
+    from matrixprofiler_spark.sources.tokens import chars_from_documents
+
+    chars = chars_from_documents(spark, SF, 256)
+    plan = plan_of(matrix_profile_distributed(chars, 32, chunk_len=100))
+    assert "CartesianProduct" not in plan
+    # partial agg + final agg around one Exchange for the min-merge
+    # (struct min aggregates via SortAggregate)
+    aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert aggs >= 2
+    assert "Join Inner" in plan or "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ngram_join_has_df_cap(spark):
+    """The capped n-gram join's gram side must pass through the rarity
+    semi-filter (an extra join with the DF aggregate) before the self
+    equi-join — the hot-key hygiene the 100-TB plan requires."""
+    from matrixprofiler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    capped = plan_of(ngram_jaccard_pairs(docs, 3, 0.2, max_doc_freq=100))
+    uncapped = plan_of(ngram_jaccard_pairs(docs, 3, 0.2))
+    assert capped.count("HashAggregate") > uncapped.count("HashAggregate")
