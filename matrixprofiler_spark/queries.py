@@ -1578,6 +1578,131 @@ WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), t -> t[1] * t[2])) AS BIG
 
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Repetition filter signals per doc (the spam/boilerplate gate of a
+    text pipeline): total vs distinct word trigrams, repetition ratio
+    1 - distinct/total, and the most-repeated trigram's count
+    (deterministic tie: lexicographically smallest gram)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    grams = F.filter(
+        F.transform(
+            words,
+            lambda x, i: F.when(
+                i <= F.size(words) - 3,
+                F.concat_ws(" ", x, F.element_at(words, i + 2),
+                            F.element_at(words, i + 3)),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    g = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(grams).alias("gram"),
+    )
+    per_gram = g.groupBy("doc_id", "gram").count()
+    rk = Window.partitionBy("doc_id").orderBy(F.col("count").desc(), F.col("gram").asc())
+    top = (
+        per_gram.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("count").alias("top_gram_count"))
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("count").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+    )
+    return agg.join(top, "doc_id").select(
+        "doc_id", "n_grams", "n_distinct",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")).alias("repetition"),
+        "top_gram_count",
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         UNNEST([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                 FOR i IN range(1, len(words) - 1)]) AS gram
+  FROM w
+),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, c AS top_gram_count,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+  FROM pg
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM pg GROUP BY 1
+)
+SELECT a.doc_id, a.n_grams, a.n_distinct,
+       1.0 - a.n_distinct / CAST(a.n_grams AS DOUBLE) AS repetition,
+       CAST(t.top_gram_count AS BIGINT) AS top_gram_count
+FROM agg a JOIN top t ON t.doc_id = a.doc_id AND t.rn = 1
+"""
+
+
+def q_bigram_commonness(spark, sf_dir):
+    """Corpus-level language-model-flavoured signal: per doc, the mean
+    CORPUS frequency of its word bigrams (exact integer sums — cliché-
+    heavy docs score high, novel text low). Plan: one bigram-count
+    aggregate (the small side after aggregation) joined back to the
+    exploded doc bigrams — frequency tables broadcast at any corpus size
+    once aggregated."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    bigrams = F.filter(
+        F.transform(
+            words,
+            lambda x, i: F.when(
+                i <= F.size(words) - 2,
+                F.concat_ws(" ", x, F.element_at(words, i + 2)),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    g = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(bigrams).alias("bg"),
+    )
+    freq = g.groupBy("bg").agg(F.count("*").alias("cf"))
+    return (
+        g.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cf").alias("cf_sum"),
+            (F.sum("cf") / F.count("*")).alias("mean_corpus_freq"),
+        )
+    )
+
+
+SQL_BIGRAM_COMMONNESS = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         UNNEST([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]) AS bg
+  FROM w
+),
+freq AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cf FROM g GROUP BY 1)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(f.cf) AS BIGINT) AS cf_sum,
+       SUM(f.cf) / CAST(COUNT(*) AS DOUBLE) AS mean_corpus_freq
+FROM g JOIN freq f USING (bg)
+GROUP BY 1
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     """End-to-end curation funnel per source: dedup keep-list (connected
     components over MinHash-LSH pairs) x quality gate (stop-word/vowel
@@ -2053,6 +2178,8 @@ def queries() -> dict:
         "audio_features": q_audio_features,
         "ann_srp_buckets": q_srp_buckets,
         "ann_srp_pairs": q_srp_pairs,
+        "doc_repetition": q_doc_repetition,
+        "bigram_commonness": q_bigram_commonness,
         "corpus_curation": q_corpus_curation,
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
@@ -2112,6 +2239,8 @@ def oracle_sql() -> dict:
         "normalize_params": SQL_NORMALIZE_PARAMS,
         "ed_corr_roundtrip": SQL_ED_CORR,
         "events_rollup_1h": SQL_EVENTS_ROLLUP,
+        "doc_repetition": SQL_DOC_REPETITION,
+        "bigram_commonness": SQL_BIGRAM_COMMONNESS,
         "corpus_curation": SQL_CORPUS_CURATION,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "pack_sequences": SQL_PACK_SEQUENCES,
