@@ -1774,6 +1774,75 @@ FROM g GROUP BY 1""",
 )
 
 
+def q_decontamination(spark, sf_dir):
+    """Train/eval contamination check (the decontamination pass every LLM
+    corpus ships through): eval docs (deterministic held-out slice,
+    doc_id % 17 == 0) are matched against the remaining corpus on shared
+    word 5-grams; per eval doc: the most-overlapping train doc (ties ->
+    smallest id) and the shared-gram count. The 5-gram equi-join is the
+    standard blocking key — bounded buckets, no cross join."""
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import _ngrams, doc_words
+
+    docs = _docs(spark, sf_dir)
+    w = doc_words(docs)
+    grams = w.select(
+        "doc_id",
+        F.explode(_ngrams(F.col("words"), 5)).alias("gram"),
+    )
+    did = F.col("doc_id").cast("long")
+    ev = grams.filter(did % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    tr = grams.filter(did % 17 != 0).select(
+        F.col("doc_id").alias("train_id"), "gram"
+    )
+    hits = (
+        ev.join(tr, "gram")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    rk = Window.partitionBy("eval_id").orderBy(
+        F.col("shared").desc(), F.col("train_id").asc()
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select("eval_id", "train_id", "shared")
+    )
+
+
+SQL_DECONTAMINATION = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS did,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, did,
+         UNNEST([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+                 || words[i+3] || ' ' || words[i+4]
+                 FOR i IN range(1, len(words) - 3)]) AS gram
+  FROM w
+),
+hits AS (
+  SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM (SELECT * FROM grams WHERE did % 17 = 0) e
+  JOIN (SELECT * FROM grams WHERE did % 17 != 0) t USING (gram)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT eval_id, train_id, shared,
+         ROW_NUMBER() OVER (PARTITION BY eval_id
+             ORDER BY shared DESC, train_id ASC) AS rn
+  FROM hits
+)
+SELECT eval_id, train_id, shared FROM rk WHERE rn = 1
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash sampling stratified by source (the reproducible
     subsample every corpus pipeline needs): keep a doc when its md5-bucket
@@ -2183,6 +2252,7 @@ def queries() -> dict:
         "corpus_curation": q_corpus_curation,
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
+        "decontamination": q_decontamination,
         "tpch_q1_cents": q_tpch_q1,
         "tpch_top_customers": q_tpch_top_customers,
         "matrix_profile_blobs": q_mp_blobs,
@@ -2244,6 +2314,7 @@ def oracle_sql() -> dict:
         "corpus_curation": SQL_CORPUS_CURATION,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "decontamination": SQL_DECONTAMINATION,
         "tpch_q1_cents": SQL_TPCH_Q1,
         "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
         "lang_id_trigram": SQL_LANG_ID_TRIGRAM,
