@@ -92,11 +92,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
+    # NOTE: no broadcast hint — sizes has one row per doc (billions at
+    # corpus scale); the candidate-pair side is the small one after
+    # blocking, so let AQE pick the join strategy per actual sizes
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     out = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
