@@ -145,6 +145,64 @@ FROM spine s LEFT JOIN r ON s.doc_id = r.doc_id AND s.bucket = r.bucket
 """
 
 
+def q_downsample_minmax(spark, sf_dir):
+    """Spike-preserving min/max downsample per 64-offset bucket (what a
+    dashboard reads from a retention tier): each bucket keeps its min and
+    max POINTS with their offsets (first occurrence on ties) — argmin/
+    argmax semantics the plain rollup's min_v/max_v scalars don't carry."""
+    from pyspark.sql.window import Window
+
+    t = _tok(spark, sf_dir)
+    p = t.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos0", "tok"),
+    ).withColumn("bucket", (F.col("pos0") / BUCKET_COARSE).cast("long"))
+    wmin = Window.partitionBy("doc_id", "bucket").orderBy(
+        F.col("tok").asc(), F.col("pos0").asc()
+    )
+    wmax = Window.partitionBy("doc_id", "bucket").orderBy(
+        F.col("tok").desc(), F.col("pos0").asc()
+    )
+    mins = (
+        p.withColumn("rn", F.row_number().over(wmin)).filter(F.col("rn") == 1)
+        .select("doc_id", "bucket", F.col("tok").alias("min_v"),
+                F.col("pos0").cast("int").alias("min_off"))
+    )
+    maxs = (
+        p.withColumn("rn", F.row_number().over(wmax)).filter(F.col("rn") == 1)
+        .select("doc_id", "bucket", F.col("tok").alias("max_v"),
+                F.col("pos0").cast("int").alias("max_off"))
+    )
+    return mins.join(maxs, ["doc_id", "bucket"])
+
+
+SQL_DOWNSAMPLE_MINMAX = f"""
+WITH {TOK_CTE},
+b AS (
+  SELECT doc_id, tok, CAST(pos - 1 AS BIGINT) AS pos0,
+         (pos - 1) // {BUCKET_COARSE} AS bucket
+  FROM pos
+),
+mn AS (
+  SELECT doc_id, bucket, tok AS min_v, CAST(pos0 AS INT) AS min_off,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, bucket
+             ORDER BY tok ASC, pos0 ASC) AS rn
+  FROM b
+),
+mx AS (
+  SELECT doc_id, bucket, tok AS max_v, CAST(pos0 AS INT) AS max_off,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, bucket
+             ORDER BY tok DESC, pos0 ASC) AS rn
+  FROM b
+)
+SELECT n.doc_id, CAST(n.bucket AS BIGINT) AS bucket,
+       n.min_v, n.min_off, x.max_v, x.max_off
+FROM (SELECT * FROM mn WHERE rn = 1) n
+JOIN (SELECT * FROM mx WHERE rn = 1) x
+  ON n.doc_id = x.doc_id AND n.bucket = x.bucket
+"""
+
+
 def q_sliding_stats(spark, sf_dir):
     s = sliding_stats(_tok(spark, sf_dir), W)
     # mov_var (ogita): (sumsq/w) - mean*mean, src/windowfunc.cpp:87-94
@@ -2207,6 +2265,7 @@ def queries() -> dict:
         "rollup_1m": q_rollup_1m,
         "rollup_cascade": q_rollup_cascade,
         "gapfill": q_gapfill,
+        "downsample_minmax": q_downsample_minmax,
         "sliding_stats_w8": q_sliding_stats,
         "zero_crossings_w16": q_zero_crossings,
         "complexity": q_complexity,
@@ -2269,6 +2328,7 @@ def oracle_sql() -> dict:
         "rollup_1m": SQL_ROLLUP_1M,
         "rollup_cascade": SQL_ROLLUP_CASCADE,
         "gapfill": SQL_GAPFILL,
+        "downsample_minmax": SQL_DOWNSAMPLE_MINMAX,
         "sliding_stats_w8": SQL_SLIDING_STATS,
         "zero_crossings_w16": SQL_ZERO_CROSSINGS,
         "complexity": SQL_COMPLEXITY,
