@@ -150,30 +150,23 @@ def q_downsample_minmax(spark, sf_dir):
     dashboard reads from a retention tier): each bucket keeps its min and
     max POINTS with their offsets (first occurrence on ties) — argmin/
     argmax semantics the plain rollup's min_v/max_v scalars don't carry."""
-    from pyspark.sql.window import Window
-
     t = _tok(spark, sf_dir)
     p = t.select(
         "doc_id",
         F.posexplode("tokens").alias("pos0", "tok"),
     ).withColumn("bucket", (F.col("pos0") / BUCKET_COARSE).cast("long"))
-    wmin = Window.partitionBy("doc_id", "bucket").orderBy(
-        F.col("tok").asc(), F.col("pos0").asc()
+    # ONE map-side-combinable aggregation: lexicographic struct min gives
+    # (min tok, first offset); min over (-tok, pos0) gives (max tok, first
+    # offset) — no window sorts, no second shuffle
+    agg = p.groupBy("doc_id", "bucket").agg(
+        F.min(F.struct(F.col("tok"), F.col("pos0"))).alias("mn"),
+        F.min(F.struct((-F.col("tok")).alias("ntok"), F.col("pos0"))).alias("mx"),
     )
-    wmax = Window.partitionBy("doc_id", "bucket").orderBy(
-        F.col("tok").desc(), F.col("pos0").asc()
+    return agg.select(
+        "doc_id", "bucket",
+        F.col("mn.tok").alias("min_v"), F.col("mn.pos0").cast("int").alias("min_off"),
+        (-F.col("mx.ntok")).alias("max_v"), F.col("mx.pos0").cast("int").alias("max_off"),
     )
-    mins = (
-        p.withColumn("rn", F.row_number().over(wmin)).filter(F.col("rn") == 1)
-        .select("doc_id", "bucket", F.col("tok").alias("min_v"),
-                F.col("pos0").cast("int").alias("min_off"))
-    )
-    maxs = (
-        p.withColumn("rn", F.row_number().over(wmax)).filter(F.col("rn") == 1)
-        .select("doc_id", "bucket", F.col("tok").alias("max_v"),
-                F.col("pos0").cast("int").alias("max_off"))
-    )
-    return mins.join(maxs, ["doc_id", "bucket"])
 
 
 SQL_DOWNSAMPLE_MINMAX = f"""
