@@ -308,16 +308,17 @@ FROM g
 
 def q_mode_token(spark, sf_dir):
     """Most frequent token per doc (mode, src/mathtools.cpp:101-107); ties
-    -> smallest token (deterministic oracle tie-break)."""
-    from pyspark.sql.window import Window
-
+    -> smallest token (deterministic oracle tie-break). Lexicographic
+    struct min == (max count, min token): one map-side-combinable agg
+    instead of a per-doc window sort."""
     p = _tok(spark, sf_dir).select("doc_id", F.explode("tokens").alias("tok"))
     cnt = p.groupBy("doc_id", "tok").count()
-    w = Window.partitionBy("doc_id").orderBy(F.col("count").desc(), F.col("tok").asc())
-    return (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("tok").alias("mode_tok"), F.col("count").alias("freq"))
+    best = cnt.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("count")).alias("ncnt"), F.col("tok"))).alias("b")
+    )
+    return best.select(
+        "doc_id", F.col("b.tok").alias("mode_tok"),
+        (-F.col("b.ncnt")).alias("freq"),
     )
 
 
