@@ -2210,21 +2210,20 @@ def q_motifs_discords(spark, sf_dir):
     """Top-level motif/discord extraction: per doc, the window with the
     SMALLEST matrix-profile value (motif: best-repeated pattern) and the
     LARGEST (discord: most anomalous), deterministic tie-breaks."""
-    from pyspark.sql.window import Window
-
     mp = matrix_profile_exact(_tok(spark, sf_dir), W, ez=0.5)
-    w_min = Window.partitionBy("doc_id").orderBy(F.col("mp").asc(), F.col("off").asc())
-    w_max = Window.partitionBy("doc_id").orderBy(F.col("mp").desc(), F.col("off").asc())
-    motifs = (
-        mp.withColumn("rn", F.row_number().over(w_min)).filter(F.col("rn") == 1)
-        .select("doc_id", F.col("off").alias("motif_off"),
-                F.col("nn_off").alias("motif_nn"), F.col("mp").alias("motif_mp"))
+    # one map-side-combinable agg: lexicographic struct min encodes both
+    # extractions ((mp asc, off asc) for the motif; (-mp, off asc) for the
+    # discord) — no per-doc window sorts, single shuffle
+    agg = mp.groupBy("doc_id").agg(
+        F.min(F.struct("mp", "off", "nn_off")).alias("mo"),
+        F.min(F.struct((-F.col("mp")).alias("nmp"), F.col("off"))).alias("di"),
     )
-    discords = (
-        mp.withColumn("rn", F.row_number().over(w_max)).filter(F.col("rn") == 1)
-        .select("doc_id", F.col("off").alias("discord_off"), F.col("mp").alias("discord_mp"))
+    return agg.select(
+        "doc_id",
+        F.col("mo.off").alias("motif_off"), F.col("mo.nn_off").alias("motif_nn"),
+        F.col("mo.mp").alias("motif_mp"),
+        F.col("di.off").alias("discord_off"), (-F.col("di.nmp")).alias("discord_mp"),
     )
-    return motifs.join(discords, "doc_id")
 
 
 SQL_MOTIFS_DISCORDS = (
