@@ -23,6 +23,12 @@ import sys
 import time
 from pathlib import Path
 
+# one BLAS thread per Python worker: 32 concurrent workers each spawning a
+# full OpenBLAS thread pool oversubscribes the box ~32x on the dgemm-heavy
+# matrix-profile tiles (workers inherit the driver env in local mode)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
@@ -114,18 +120,47 @@ def main() -> None:
     extra["tokens_total"] = int(n_tokens_total)
     extra["tokens_per_sec"] = n_tokens_total / pipeline_sec if pipeline_sec else 0.0
 
-    # ---- distributed matrix profile (MPX per doc, compressed) ----
-    from matrixprofiler_spark.operators.mp_ops import matrix_profile_blobs
+    # ---- matrix profile over 100% of docs (no silent exclusion) ----
+    # routing: docs within the blob operator's cap run as one-task-per-doc
+    # MPX blobs (zero truncation at this cut); longer docs route through
+    # the tiled distributed kernel — one doc becomes many (chunk x chunk)
+    # tile tasks, so the 16k-token Zipf tail spans tasks instead of
+    # pinning one straggler
+    from matrixprofiler_spark.operators.mp_ops import (
+        matrix_profile_blobs,
+        matrix_profile_distributed,
+    )
 
+    MP_CUT = 8192
     t0 = time.time()
     mp_docs = matrix_profile_blobs(
-        tokens.filter(F.col("n_tok") <= 4096), w=128, num_partitions=parts
+        tokens.filter(F.col("n_tok") <= MP_CUT), w=128,
+        max_tokens=MP_CUT, num_partitions=parts,
     )
     mp_points = mp_docs.agg(F.sum("profile_len")).collect()[0][0] or 0
+    mp_points_dist = matrix_profile_distributed(
+        tokens.filter(F.col("n_tok") > MP_CUT), w=128,
+        chunk_len=3072, num_partitions=parts,
+    ).count()
     times["matrix_profile_mpx_w128"] = time.time() - t0
-    extra["mp_points"] = int(mp_points)
+    extra["mp_points"] = int(mp_points + mp_points_dist)
+    extra["mp_points_distributed"] = int(mp_points_dist)
+    # half-pair throughput (the MP work metric: n^2/2 window pairs per doc)
+    mp_pairs = (
+        tokens.select(
+            F.sum((F.col("n_tok").cast("double") - 127) ** 2 / 2).alias("p")
+        ).collect()[0][0]
+        or 0.0
+    )
+    extra["mp_half_pairs"] = int(mp_pairs)
+    extra["mp_pairs_per_sec"] = mp_pairs / times["matrix_profile_mpx_w128"]
 
     # ---- operator queries over the driver tables ----
+    # the 64-row Arrow batches are tuned for the flagship window-stats
+    # kernels (cache-resident decode+encode working sets); the small
+    # operator queries are Arrow-light and run best at the stock batch
+    # size, so scope the tuning to the stages above (VERDICT r2 #3)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     reg = qreg()
     for name in (
         "rollup_1m", "sliding_stats_w8", "matrix_profile_w8", "mass_w8",

@@ -120,10 +120,31 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8) -> Data
     return grams.groupBy("doc_id").agg(*aggs)
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """LSH bucket-size hygiene: DROP buckets with more than ``max_bucket``
+    members before the self-join. A degenerate bucket (boilerplate /
+    near-empty docs sharing a signature) is an uncapped quadratic hot key
+    at corpus scale; a bucket past the cap carries ~no near-dup signal, so
+    dropping it is the standard recall/cost trade (same pattern as the
+    n-gram ``max_doc_freq`` cap). One extra map-side-combinable count
+    aggregation; fan-out is then bounded by max_bucket^2 per bucket."""
+    if max_bucket is None:
+        return df
+    ok = (
+        df.groupBy(*keys)
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select(*keys)
+    )
+    return df.join(ok, keys)
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
-                      band_size: int = 2) -> DataFrame:
+                      band_size: int = 2,
+                      max_bucket: int | None = 256) -> DataFrame:
     """LSH candidate pairs: band id = concat of ``band_size`` adjacent
-    signature slots; docs sharing any band bucket pair up."""
+    signature slots; docs sharing any band bucket pair up. Buckets with
+    more than ``max_bucket`` members are dropped (see _cap_buckets)."""
     sig = minhash_signatures(docs, n, num_hashes)
     bands = []
     for b in range(num_hashes // band_size):
@@ -138,6 +159,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionByName(x)
+    all_bands = _cap_buckets(all_bands, ["band", "bucket"], max_bucket)
     a = all_bands.alias("a")
     b2 = all_bands.alias("b")
     return (
@@ -189,14 +211,16 @@ def simhash64(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
-                  hash_fn: str = "xxhash64", n_blocks: int = 4) -> DataFrame:
+                  hash_fn: str = "xxhash64", n_blocks: int = 4,
+                  max_bucket: int | None = 256) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Blocking: the 64-bit fingerprint is cut into ``n_blocks`` disjoint
     16-bit slices; docs sharing ANY slice value are candidates (multi-
     block LSH — recall rises with n_blocks, and each join key stays a
     bounded-cardinality 16-bit bucket; shift+mask is engine-portable,
-    arithmetic sign-extension masked away)."""
+    arithmetic sign-extension masked away). Slices shared by more than
+    ``max_bucket`` docs are dropped (see _cap_buckets)."""
     s = simhash64(docs, hash_fn=hash_fn)
     blocks = None
     for r in range(n_blocks):
@@ -206,6 +230,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
             F.shiftright("simhash", 16 * r).bitwiseAND(F.lit(65535)).alias("block"),
         )
         blocks = br if blocks is None else blocks.unionByName(br)
+    blocks = _cap_buckets(blocks, ["slice_id", "block"], max_bucket)
     a = blocks.alias("a")
     b = blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -242,6 +267,7 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame,
         .persist()
     )
     labels = verts.select("doc_id", F.col("doc_id").alias("comp")).persist()
+    changed = 0
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.t == labels.doc_id)
@@ -267,6 +293,14 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # no silent caps: labels would be mid-propagation (wrong clusters)
+        raise RuntimeError(
+            f"duplicate_components did not converge within {max_iters} "
+            f"iterations ({changed} labels still changing) — the pair graph "
+            "has a longer chain than expected; raise max_iters or switch to "
+            "star-contraction"
+        )
     return labels.select(
         "doc_id",
         F.col("comp").alias("component_id"),

@@ -208,14 +208,24 @@ def ivf_index(emb: DataFrame, n_lists: int = 16, iters: int = 3) -> tuple:
     from pyspark.sql import types as T
 
     qv = quantized(emb).persist()
-    n = qv.count()
-    step = max(1, n // n_lists)
-    # evenly-spaced seed ids — a bounded-size filter + collect of exactly
-    # n_lists rows (never the corpus)
-    seed_rows = qv.filter(
-        (F.pmod(F.col("vec_id"), F.lit(step)) == 0)
-        & (F.col("vec_id") < step * n_lists)
-    ).collect()
+    # sparse-/offset-id-safe seed selection (no density assumption): one
+    # hash stratum per list, seed = the stratum's smallest vec_id — a
+    # single map-side-combinable aggregation; only n_lists rows reach the
+    # driver. Tiny inputs where strata go empty fall back to the n_lists
+    # smallest ids (bounded distributed top-K).
+    seed_ids = (
+        qv.groupBy(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_lists)).alias("stratum"))
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id")
+    )
+    seed_rows = qv.join(seed_ids, "vec_id").collect()
+    if len(seed_rows) < n_lists:
+        seed_rows = qv.orderBy("vec_id").limit(n_lists).collect()
+    if len(seed_rows) < n_lists:
+        raise ValueError(
+            f"ivf_index needs at least n_lists={n_lists} vectors, "
+            f"got {len(seed_rows)}"
+        )
     centroids = np.array([r.qv for r in sorted(seed_rows, key=lambda r: r.vec_id)],
                          dtype=np.float64)[:n_lists]
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -288,6 +298,9 @@ def ivf_seed_topk(emb: DataFrame, n_lists: int = 8, nprobe: int = 4,
     qv = quantized(emb)
     n = qv.count()
     step = max(1, n // n_lists)
+    # the SQL oracle pins these positional seeds (vec_id % step == 0),
+    # which assumes DENSE ids starting at 0 — assert instead of silently
+    # under-seeding on sparse ids (ivf_index is the density-free path)
     seed_rows = sorted(
         qv.filter(
             (F.pmod(F.col("vec_id"), F.lit(step)) == 0)
@@ -295,6 +308,12 @@ def ivf_seed_topk(emb: DataFrame, n_lists: int = 8, nprobe: int = 4,
         ).collect(),
         key=lambda r: r.vec_id,
     )[:n_lists]
+    if len(seed_rows) != n_lists:
+        raise ValueError(
+            f"ivf_seed_topk selected {len(seed_rows)} seeds, expected "
+            f"{n_lists}: vec_ids must be dense 0..n-1 (use ivf_index for "
+            "sparse or offset ids)"
+        )
     S = np.array([r.qv for r in seed_rows], dtype=np.int64)
     s_norm = np.sqrt(np.array([r.norm2 for r in seed_rows], dtype=np.int64).astype(np.float64))
     bc = emb.sparkSession.sparkContext.broadcast((S, s_norm))

@@ -474,12 +474,15 @@ WHERE p.common / CAST(sa.n_grams + sb.n_grams - p.common AS DOUBLE) >= 0.2
 """
 
 
+LSH_MAX_BUCKET = 256  # drop degenerate LSH buckets past this size (both engines)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8, band_size=2)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8, band_size=2,
+                             max_bucket=LSH_MAX_BUCKET)
 
 
-SQL_DEDUP_MINHASH_LSH = """
-WITH w AS (
+_SQL_MINHASH_BANDS = f"""w AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
   FROM documents
 ),
@@ -497,12 +500,21 @@ sig AS (
          MIN(md5(gram || '#6')) AS mh6, MIN(md5(gram || '#7')) AS mh7
   FROM grams GROUP BY 1
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig UNION ALL
   SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
   SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
   SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
-)
+),
+bsz AS (
+  SELECT band, bucket FROM bands0 GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_MAX_BUCKET}
+),
+bands AS (
+  SELECT b.* FROM bands0 b JOIN bsz USING (band, bucket)
+)"""
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_MINHASH_BANDS}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
@@ -516,35 +528,13 @@ def q_dedup_components(spark, sf_dir):
     replays it as a recursive-CTE transitive closure."""
     from .operators.dedup import duplicate_components
 
-    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8, band_size=2)
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8, band_size=2,
+                              max_bucket=LSH_MAX_BUCKET)
     return duplicate_components(_docs(spark, sf_dir), pairs)
 
 
-SQL_DEDUP_COMPONENTS = """
-WITH RECURSIVE w AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
-  FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id,
-         UNNEST([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                 FOR i IN range(1, len(words) - 1)]) AS gram
-  FROM w
-),
-sig AS (
-  SELECT doc_id,
-         MIN(md5(gram || '#0')) AS mh0, MIN(md5(gram || '#1')) AS mh1,
-         MIN(md5(gram || '#2')) AS mh2, MIN(md5(gram || '#3')) AS mh3,
-         MIN(md5(gram || '#4')) AS mh4, MIN(md5(gram || '#5')) AS mh5,
-         MIN(md5(gram || '#6')) AS mh6, MIN(md5(gram || '#7')) AS mh7
-  FROM grams GROUP BY 1
-),
-bands AS (
-  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig UNION ALL
-  SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
-  SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
-  SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
-),
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_MINHASH_BANDS},
 p AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -569,7 +559,8 @@ FROM alldocs d LEFT JOIN comp c ON c.doc_id = d.doc_id
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs with the portable md5-bit hash family (the
     production default is xxhash64 — same algorithm, faster JVM hash)."""
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=20, hash_fn="md5")
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=20, hash_fn="md5",
+                         max_bucket=LSH_MAX_BUCKET)
 
 
 def _sql_simhash() -> str:
@@ -598,10 +589,16 @@ b AS (SELECT doc_id,
          {bit_exprs}
       FROM d GROUP BY doc_id),
 s AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM b),
-blk AS (
+blk0 AS (
   SELECT doc_id, simhash, r AS slice_id,
          (simhash >> (16 * r)) & 65535 AS block
   FROM s, (VALUES (0), (1), (2), (3)) v(r)
+),
+bsz AS (
+  SELECT slice_id, block FROM blk0 GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_MAX_BUCKET}
+),
+blk AS (
+  SELECT b.* FROM blk0 b JOIN bsz USING (slice_id, block)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
@@ -1826,13 +1823,20 @@ FROM g GROUP BY 1""",
 )
 
 
+DECON_MAX_DOC_FREQ = 50  # corpus-wide doc-frequency cap on join grams
+
+
 def q_decontamination(spark, sf_dir):
     """Train/eval contamination check (the decontamination pass every LLM
     corpus ships through): eval docs (deterministic held-out slice,
     doc_id % 17 == 0) are matched against the remaining corpus on shared
     word 5-grams; per eval doc: the most-overlapping train doc (ties ->
     smallest id) and the shared-gram count. The 5-gram equi-join is the
-    standard blocking key — bounded buckets, no cross join."""
+    standard blocking key — bounded buckets, no cross join — and grams
+    appearing in more than DECON_MAX_DOC_FREQ docs (boilerplate) are
+    dropped from the join universe (the dedup.py:78-85 rare-gram
+    pattern), bounding the fan-out of any hot gram to K^2 pairs; the
+    oracle applies the identical cap."""
     from pyspark.sql.window import Window
 
     from .operators.dedup import _ngrams, doc_words
@@ -1843,6 +1847,13 @@ def q_decontamination(spark, sf_dir):
         "doc_id",
         F.explode(_ngrams(F.col("words"), 5)).alias("gram"),
     )
+    rare = (
+        grams.groupBy("gram")
+        .count()
+        .filter(F.col("count") <= DECON_MAX_DOC_FREQ)
+        .select("gram")
+    )
+    grams = grams.join(rare, "gram")
     did = F.col("doc_id").cast("long")
     ev = grams.filter(did % 17 == 0).select(
         F.col("doc_id").alias("eval_id"), "gram"
@@ -1865,18 +1876,24 @@ def q_decontamination(spark, sf_dir):
     )
 
 
-SQL_DECONTAMINATION = """
+SQL_DECONTAMINATION = f"""
 WITH w AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS did,
          string_split(text, ' ') AS words
   FROM documents
 ),
-grams AS (
+grams0 AS (
   SELECT DISTINCT doc_id, did,
          UNNEST([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
                  || words[i+3] || ' ' || words[i+4]
                  FOR i IN range(1, len(words) - 3)]) AS gram
   FROM w
+),
+rare AS (
+  SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= {DECON_MAX_DOC_FREQ}
+),
+grams AS (
+  SELECT g.* FROM grams0 g JOIN rare USING (gram)
 ),
 hits AS (
   SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
