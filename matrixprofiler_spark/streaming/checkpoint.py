@@ -67,20 +67,49 @@ class RollupJob:
             if read_manifest(self.base, stage, k) is not None
         ]
 
+    def input_fingerprint(self, tokens: DataFrame) -> dict:
+        """Order-independent input identity: row count + bit_xor of
+        xxhash64(doc_id, n_tok). One map-side-combinable aggregation,
+        overflow-free under ANSI mode."""
+        r = tokens.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("h"),
+        ).collect()[0]
+        return {"n": int(r["n"]), "h": int(r["h"] or 0)}
+
     def stage_input(self, tokens: DataFrame) -> DataFrame:
         """Write the input ONCE, hive-partitioned by group, so each commit
         unit below is a partition-PRUNED read of its own directory instead
         of a full-input filter scan per group (at 100 TB: one write + n
         pruned reads, not n full scans). Idempotent: skipped when the
-        staged layout already exists (its own _SUCCESS commit marker)."""
+        staged layout already exists (its own _SUCCESS commit marker) AND
+        the input fingerprint matches the staged one — a changed input
+        against a base dir with committed work is an ERROR (a base dir
+        binds to one input), never a silent serve of the stale copy."""
         staged = self.base / "input_staged"
-        if not (staged / "_SUCCESS").exists():
-            (
-                tokens.withColumn("grp", self.group_col())
-                .write.mode("overwrite")
-                .partitionBy("grp")
-                .parquet(str(staged))
-            )
+        fp_path = self.base / "input_fingerprint.json"
+        fp = self.input_fingerprint(tokens)
+        if (staged / "_SUCCESS").exists():
+            old = json.loads(fp_path.read_text()) if fp_path.exists() else None
+            if old == fp:
+                self._last_fp = fp
+                return self.spark.read.parquet(str(staged))
+            if any((self.base / "manifests").iterdir()):
+                raise ValueError(
+                    f"base dir {self.base} holds committed work for a "
+                    f"different input (staged fingerprint {old}, got {fp}); "
+                    "use a fresh base dir"
+                )
+        (
+            tokens.withColumn("grp", self.group_col())
+            .write.mode("overwrite")
+            .partitionBy("grp")
+            .parquet(str(staged))
+        )
+        tmp = self.base / ".input_fingerprint.json.tmp"
+        tmp.write_text(json.dumps(fp))
+        os.replace(tmp, fp_path)
+        self._last_fp = fp
         return self.spark.read.parquet(str(staged))
 
     def run(self, tokens: DataFrame, stage: str = "rollup_1m",
@@ -117,6 +146,7 @@ class RollupJob:
                 "elapsed_sec": round(elapsed, 3),
                 "points_per_sec": round(rows * 5 / elapsed, 1) if elapsed else None,
                 "kernel_version": __version__,
+                "input_fingerprint": getattr(self, "_last_fp", None),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             # manifest write is the commit point: write-then-rename = atomic

@@ -87,7 +87,8 @@ def stream_events_rollup(spark: SparkSession, input_dir: str, sink_dir: str,
 
 
 def incremental_bucket_rollup(spark: SparkSession, input_dir: str, sink_dir: str,
-                              checkpoint_dir: str, bucket_size: int = 60):
+                              checkpoint_dir: str, bucket_size: int = 60,
+                              max_buffer_tokens: int = 1 << 22):
     """Custom stateful streaming operator (``applyInPandasWithState``):
     docs arrive as ordered (doc_id, chunk_off, tokens) appends; per-doc
     state carries the trailing partial bucket (the same sufficient state —
@@ -173,6 +174,15 @@ def incremental_bucket_rollup(spark: SparkSession, input_dir: str, sink_dir: str
                 rest.append((off, arr))
             else:
                 raise ValueError(f"overlapping chunk for {doc_id} at {off}")
+        buffered = sum(a.size for _, a in rest)
+        if buffered > max_buffer_tokens:
+            # fail LOUDLY: a never-arriving chunk would otherwise grow this
+            # state without bound and silently withhold all later buckets
+            raise ValueError(
+                f"doc {doc_id}: {buffered} tokens buffered waiting for "
+                f"offset {expected} (cap max_buffer_tokens="
+                f"{max_buffer_tokens}) — a chunk is missing from the stream"
+            )
 
         out = None
         if run:
@@ -255,7 +265,8 @@ def incremental_bucket_rollup(spark: SparkSession, input_dir: str, sink_dir: str
 
 def incremental_tier_rollup(spark: SparkSession, input_dir: str, sink_dir: str,
                             checkpoint_dir: str, tiers=(60, 3600),
-                            tier_names=("1m", "1h")):
+                            tier_names=("1m", "1h"),
+                            max_buffer_tokens: int = 1 << 22):
     """Streaming CONTINUOUS-AGGREGATE CASCADE: one stateful operator emits
     every retention tier's buckets as they complete (a 1h bucket appears
     the moment its 3600th token arrives), with per-tier trailing-partial
@@ -342,6 +353,15 @@ def incremental_tier_rollup(spark: SparkSession, input_dir: str, sink_dir: str,
                 rest.append((off, arr))
             else:
                 raise ValueError(f"overlapping chunk for {doc_id} at {off}")
+        buffered = sum(a.size for _, a in rest)
+        if buffered > max_buffer_tokens:
+            # fail LOUDLY: a never-arriving chunk would otherwise grow this
+            # state without bound and silently withhold all later buckets
+            raise ValueError(
+                f"doc {doc_id}: {buffered} tokens buffered waiting for "
+                f"offset {expected} (cap max_buffer_tokens="
+                f"{max_buffer_tokens}) — a chunk is missing from the stream"
+            )
 
         frames = []
         if run:

@@ -81,3 +81,27 @@ def test_torn_manifest_is_retried(spark, tokens, tmp_path):
     job2 = RollupJob(spark, tmp_path, n_groups=4)
     assert sorted(job2.completed_groups()) == [0, 1, 3]
     assert job2.run(tokens) == [2]
+
+
+def test_changed_input_same_base_dir_is_rejected(spark, tokens, tmp_path):
+    """A base dir binds to ONE input: rerunning with a different tokens
+    table against committed work must fail loudly, never silently serve
+    the stale staged copy (the staged _SUCCESS marker alone is not
+    identity)."""
+    job = RollupJob(spark, tmp_path, n_groups=4)
+    job.run(tokens)
+    other = synth_tokens_df(spark, 10, seed=99)
+    job2 = RollupJob(spark, tmp_path, n_groups=4)
+    # all groups committed -> nothing to do, but identity must be checked
+    with pytest.raises(ValueError, match="different input"):
+        job2.stage_input(other)
+    # the SAME input resumes fine and reports all groups complete
+    assert job2.run(tokens) == []
+
+
+def test_manifest_records_input_fingerprint(spark, tokens, tmp_path):
+    job = RollupJob(spark, tmp_path, n_groups=2)
+    job.run(tokens)
+    m = read_manifest(tmp_path, "rollup_1m", 0)
+    fp = m["input_fingerprint"]
+    assert fp is not None and fp["n"] == tokens.count()

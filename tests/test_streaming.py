@@ -185,3 +185,25 @@ def test_streaming_tier_cascade(spark, tmp_path):
         if (r.bucket + 1) * (60 if r.tier == "1m" else 3600) <= docs[r.doc_id].size
     }
     assert got == want
+
+
+def test_stateful_buffer_cap_fails_loudly(spark, tmp_path):
+    """A never-arriving chunk must not grow per-doc state without bound:
+    past max_buffer_tokens the stream FAILS with a clear error instead of
+    silently withholding all later buckets."""
+    from matrixprofiler_spark.streaming.stream_rollup import (
+        incremental_bucket_rollup,
+    )
+
+    inp = str(tmp_path / "chunks")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    # offset-0 chunk never arrives; 200 buffered tokens exceed the cap
+    rows = [("d1", "web", 100, list(range(200)))]
+    spark.createDataFrame(
+        rows, "doc_id string, source string, chunk_off long, tokens array<int>"
+    ).write.parquet(inp)
+    q = incremental_bucket_rollup(spark, inp, sink, ckpt, max_buffer_tokens=100)
+    with pytest.raises(Exception, match="missing from the stream"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed")
