@@ -73,15 +73,30 @@ def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 def decode_image(payload: bytes, width: int, height: int, channels: int,
                  fake: bool = False, mode: str = "philox") -> np.ndarray:
-    """STUB: real implementation would be e.g. PIL/libjpeg (not available in
-    this container). ``fake=True`` yields a deterministic uint8 array of the
-    declared shape: mode='philox' seeds a counter RNG from the payload
-    digest; mode='tile' repeats the payload bytes row-major (the
-    closed-form decoder any engine can replicate — the oracle face)."""
+    """Decode an image payload.
+
+    REAL path: BMP (24-bit uncompressed) is parsed by the in-repo
+    dependency-free codec (codecs/media.py) — magic-byte detected, no
+    flag needed. Compressed formats (JPEG/PNG) would need libjpeg/PIL,
+    which this container lacks, so they remain a declared stub.
+
+    ``fake=True`` yields a deterministic uint8 array of the declared
+    shape for non-BMP payloads: mode='philox' seeds a counter RNG from
+    the payload digest; mode='tile' repeats the payload bytes row-major
+    (the closed-form decoder any engine can replicate — the oracle
+    face)."""
+    # 2-byte magic alone is weak vs arbitrary binary payloads; also require
+    # the BMP header's file-size field to match before routing to the codec
+    if (payload[:2] == b"BM" and len(payload) >= 6
+            and int.from_bytes(payload[2:6], "little") == len(payload)):
+        from ..codecs.media import parse_bmp
+
+        return parse_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs are not installed in this environment; "
-            "pass fake=True for the deterministic test decoder"
+            "only BMP decodes natively; JPEG/PNG codecs are not installed "
+            "in this environment — pass fake=True for the deterministic "
+            "test decoder"
         )
     n = height * width * channels
     if mode == "tile":
@@ -96,13 +111,26 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
 
 def decode_audio(payload: bytes, n_samples: int, fake: bool = False,
                  mode: str = "philox") -> np.ndarray:
-    """STUB, same contract as decode_image: float32 waveform in [-1, 1).
-    mode='tile' maps tiled payload bytes to (b - 128) / 128 — closed-form
-    for the oracle face."""
+    """Decode an audio payload to a float32 mono waveform in [-1, 1).
+
+    REAL path: WAV (RIFF PCM 8/16-bit) is parsed by the in-repo
+    dependency-free codec (codecs/media.py) — magic-byte detected;
+    multi-channel mixes down by mean. Compressed formats (MP3/FLAC/OGG)
+    would need external codecs, so they remain a declared stub.
+
+    ``fake=True`` for non-WAV payloads: mode='tile' maps tiled payload
+    bytes to (b - 128) / 128 — closed-form for the oracle face."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..codecs.media import parse_wav
+
+        x, _sr = parse_wav(payload)
+        return x.mean(axis=1, dtype=np.float64).astype(np.float32) \
+            if x.shape[1] > 1 else x[:, 0]
     if not fake:
         raise NotImplementedError(
-            "audio codecs are not installed in this environment; "
-            "pass fake=True for the deterministic test decoder"
+            "only WAV-PCM decodes natively; compressed audio codecs are "
+            "not installed in this environment — pass fake=True for the "
+            "deterministic test decoder"
         )
     if mode == "tile":
         b = np.frombuffer(payload, dtype=np.uint8)

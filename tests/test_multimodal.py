@@ -62,3 +62,95 @@ def test_media_schema(spark):
     kinds = {r.kind for r in media.select("kind").distinct().collect()}
     assert kinds == {"image", "audio"}
     assert media.schema["payload"].dataType.typeName() == "binary"
+
+
+# ------------------------------------------------------- real codecs (WAV/BMP)
+
+def _fixture(name):
+    from pathlib import Path
+
+    return (Path(__file__).parent / "fixtures" / name).read_bytes()
+
+
+def test_wav_fixture_decodes_byte_exactly():
+    """A real checked-in PCM16 WAV decodes to exactly int16/32768 of the
+    generating signal — the real (non-stub) audio decode path."""
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.media import parse_wav
+
+    payload = _fixture("tone_440_1337.wav")
+    x, sr = parse_wav(payload)
+    assert sr == 16000 and x.shape == (1600, 1)
+    t = np.arange(1600)
+    sig = (np.sin(2 * np.pi * 440 * t / 16000) * 0.5
+           + np.sin(2 * np.pi * 1337 * t / 16000) * 0.25)
+    s16 = np.round(sig * 32767).astype(np.int16)
+    assert (x[:, 0] == s16.astype(np.float32) / np.float32(32768.0)).all()
+
+
+def test_bmp_fixture_decodes_byte_exactly():
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.media import parse_bmp
+
+    img = parse_bmp(_fixture("gradient_32x20.bmp"))
+    assert img.shape == (20, 32, 3)
+    h, w = 20, 32
+    want = np.zeros((h, w, 3), dtype=np.uint8)
+    want[..., 0] = np.arange(w)[None, :] * 8 % 256
+    want[..., 1] = np.arange(h)[:, None] * 12 % 256
+    want[..., 2] = (np.arange(w)[None, :] + np.arange(h)[:, None]) * 5 % 256
+    assert (img == want).all()
+
+
+def test_media_codec_roundtrips():
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.media import (
+        parse_bmp, parse_wav, write_bmp, write_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32767, size=(333, 2)).astype(np.int16)
+    x, sr = parse_wav(write_wav(s, 8000))
+    assert sr == 8000
+    assert (x == s.astype(np.float32) / np.float32(32768.0)).all()
+    img = rng.integers(0, 256, size=(13, 17, 3)).astype(np.uint8)  # odd stride pad
+    assert (parse_bmp(write_bmp(img)) == img).all()
+
+
+def test_features_on_real_media_payloads(spark):
+    """End-to-end: a media table whose payloads are REAL WAV/BMP bytes runs
+    the feature kernels through the actual decoders (fake_decode left at
+    its default is irrelevant — magic bytes route to the real path)."""
+    import numpy as np
+
+    from matrixprofiler_spark.operators.multimodal import (
+        audio_features, image_features,
+    )
+
+    wav = _fixture("tone_440_1337.wav")
+    bmp = _fixture("gradient_32x20.bmp")
+    rows = [
+        ("real_aud", "audio", bytearray(wav), (None, None, None, 16000, 1600)),
+        ("real_img", "image", bytearray(bmp), (32, 20, 3, None, None)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int,height:int,channels:int,sample_rate:int,n_samples:int>",
+    )
+    af = audio_features(media, fake_decode=False).collect()
+    assert len(af) == 1 and af[0].media_id == "real_aud"
+    t = np.arange(1600)
+    sig = (np.sin(2 * np.pi * 440 * t / 16000) * 0.5
+           + np.sin(2 * np.pi * 1337 * t / 16000) * 0.25)
+    s16 = np.round(sig * 32767).astype(np.int16)
+    x = s16.astype(np.float32) / np.float32(32768.0)
+    want_rms = float(np.sqrt((x.astype(np.float64) ** 2).mean()))
+    assert af[0].rms == want_rms
+    assert af[0].duration_sec == 1600 / 16000
+    im = image_features(media, fake_decode=False).collect()
+    assert len(im) == 1 and im[0].media_id == "real_img"
+    assert 0 < im[0].mean_lum < 255 and im[0].std_lum > 0
