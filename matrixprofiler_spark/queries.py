@@ -2268,6 +2268,40 @@ FROM mo m JOIN di d ON m.doc_id = d.doc_id AND m.rn = 1 AND d.rn = 1""",
 )
 
 
+def q_stream_rollup(spark, sf_dir):
+    """STRUCTURED STREAMING face of the finest-tier rollup: the driver
+    tokens table is staged as a file-source stream, a checkpointed
+    availableNow streaming query rolls it up incrementally into a parquet
+    sink, and the COMPLETED sink is returned. Same kernel as the batch
+    path (finest_rollup is a streaming-legal transformation), so rows
+    equal the batch rollup bit-for-bit — the oracle is the batch SQL."""
+    import shutil
+    import tempfile
+
+    from .streaming.stream_rollup import stream_tokens_rollup
+
+    base = tempfile.mkdtemp(prefix="stream_rollup_")
+    try:
+        inp = f"{base}/input"
+        _tok(spark, sf_dir).write.parquet(inp)
+        q = stream_tokens_rollup(
+            spark, inp, f"{base}/sink", f"{base}/ckpt", bucket_size=BUCKET
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{base}/sink")
+            .select("doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v")
+        )
+        # the sink dir is deleted on return; materialize locally first
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_ROLLUP = SQL_ROLLUP_1M
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2329,6 +2363,7 @@ def queries() -> dict:
         "lang_id_trigram": q_lang_id_trigram,
         "rollup_by_source": q_rollup_by_source,
         "motifs_discords": q_motifs_discords,
+        "stream_rollup": q_stream_rollup,
     }
     return q
 
@@ -2390,4 +2425,5 @@ def oracle_sql() -> dict:
         "lang_id_trigram": SQL_LANG_ID_TRIGRAM,
         "rollup_by_source": SQL_ROLLUP_BY_SOURCE,
         "motifs_discords": SQL_MOTIFS_DISCORDS,
+        "stream_rollup": SQL_STREAM_ROLLUP,
     }
