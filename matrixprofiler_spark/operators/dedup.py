@@ -244,21 +244,98 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node u links its LARGER neighbors to the
+    minimum of N(u) + {u} (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm)."""
+    bidir = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        bidir.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node u links its smaller-or-equal neighbors
+    (and itself) to the minimum of those."""
+    lo = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).filter(F.col("v") < F.col("u"))
+    m = lo.groupBy("u").agg(F.min("v").alias("m"))
+    linked = (
+        lo.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return linked
+
+
 def duplicate_components(docs: DataFrame, pairs: DataFrame,
-                         max_iters: int = 20) -> DataFrame:
-    """Duplicate clusters from candidate pairs: connected components by
-    iterative min-label propagation, then one keeper per cluster (the
-    smallest doc_id) — the final step of a dedup pipeline (keep-list).
+                         max_iters: int = 20,
+                         algorithm: str = "star") -> DataFrame:
+    """Duplicate clusters from candidate pairs + one keeper per cluster
+    (the smallest doc_id) — the final step of a dedup pipeline
+    (keep-list). Returns (doc_id, component_id, is_keeper); singletons
+    keep themselves.
 
-    Each iteration is one join + map-side-combined min aggregation (2
-    bounded shuffles); iterations needed = graph diameter, which for
-    near-dup clusters is tiny. Convergence is checked with a scalar count
-    per iteration. (At 100 TB with adversarial long chains you would swap
-    in alternating large-star/small-star contractions — same DataFrame
-    shape, logarithmic rounds.)
-
-    Returns (doc_id, component_id, is_keeper); singletons keep themselves.
-    """
+    algorithm="star" (default): alternating large-star/small-star
+    contraction — O(log n) rounds regardless of component diameter, the
+    100-TB-safe shape (adversarial near-dup chains cannot blow the round
+    count). algorithm="label": min-label propagation, rounds = graph
+    diameter (kept for cross-checking; raises rather than returning
+    mid-propagation labels when the diameter exceeds max_iters).
+    Both check convergence with one scalar action per round."""
+    if algorithm == "star":
+        edges = (
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            # localCheckpoint truncates lineage each round — the iterated
+            # plan otherwise grows superlinearly and stalls the analyzer
+            .localCheckpoint(eager=True)
+        )
+        converged = False
+        for _ in range(max_iters):
+            e2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            changed = (
+                e2.exceptAll(edges).limit(1).count()
+                + edges.exceptAll(e2).limit(1).count()
+            )
+            edges = e2
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"star contraction did not converge in {max_iters} rounds"
+            )
+        # converged edges form stars: node -> component root
+        roots = edges.groupBy("u").agg(F.min("v").alias("comp"))
+        verts = docs.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
+        labels = verts.join(
+            roots.select(F.col("u").alias("doc_id"), "comp"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("comp")
+        )
+        return labels.select(
+            "doc_id",
+            F.col("comp").alias("component_id"),
+            (F.col("doc_id") == F.col("comp")).alias("is_keeper"),
+        )
+    if algorithm != "label":
+        raise ValueError(algorithm)
     verts = docs.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
