@@ -113,3 +113,31 @@ def test_ngram_join_has_df_cap(spark):
     capped = plan_of(ngram_jaccard_pairs(docs, 3, 0.2, max_doc_freq=100))
     uncapped = plan_of(ngram_jaccard_pairs(docs, 3, 0.2))
     assert capped.count("HashAggregate") > uncapped.count("HashAggregate")
+
+
+def test_decontamination_join_has_df_cap(spark):
+    """The decontamination 5-gram join must route through the rare-gram
+    semi-filter (doc-frequency aggregate + join) before eval x train —
+    boilerplate grams are quadratic hot keys otherwise."""
+    from matrixprofiler_spark.queries import q_decontamination
+
+    plan = plan_of(q_decontamination(spark, SF))
+    # the cap adds a count-per-gram aggregate feeding a semi-style join;
+    # without it there is exactly one aggregate (the pair-count groupBy)
+    # plus the top-1 window — assert the gram-frequency aggregate exists
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_lsh_bucket_caps_in_plan(spark):
+    """minhash/simhash candidate joins must pass through the bucket-size
+    filter (count aggregate + join on the bucket keys) when max_bucket is
+    set: a degenerate bucket is an uncapped quadratic key."""
+    from matrixprofiler_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    capped = plan_of(minhash_lsh_pairs(docs, max_bucket=64))
+    uncapped = plan_of(minhash_lsh_pairs(docs, max_bucket=None))
+    assert capped.count("HashAggregate") > uncapped.count("HashAggregate")
+    capped_s = plan_of(simhash_pairs(docs, max_bucket=64))
+    uncapped_s = plan_of(simhash_pairs(docs, max_bucket=None))
+    assert capped_s.count("HashAggregate") > uncapped_s.count("HashAggregate")
