@@ -120,6 +120,22 @@ def main() -> None:
     extra["tokens_total"] = int(n_tokens_total)
     extra["tokens_per_sec"] = n_tokens_total / pipeline_sec if pipeline_sec else 0.0
 
+    # ---- operator queries over the driver tables ----
+    # the 64-row Arrow batches are tuned for the flagship window-stats
+    # kernels (cache-resident decode+encode working sets); the small
+    # operator queries are Arrow-light and run best at the stock batch
+    # size, so scope the tuning to the stages above (VERDICT r2 #3)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    reg = qreg()
+    for name in (
+        "rollup_1m", "sliding_stats_w8", "matrix_profile_w8", "mass_w8",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_topk",
+        "embedding_near_dups", "text_stats", "fingerprint",
+    ):
+        t0 = time.time()
+        reg[name](spark, SF_DIR).count()
+        times[name] = time.time() - t0
+
     # ---- matrix profile over 100% of docs (no silent exclusion) ----
     # routing: docs within the blob operator's cap run as one-task-per-doc
     # MPX blobs (zero truncation at this cut); longer docs route through
@@ -131,6 +147,8 @@ def main() -> None:
         matrix_profile_distributed,
     )
 
+    # back to small Arrow batches: MP rows carry whole token arrays
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
     MP_CUT = 8192
     t0 = time.time()
     mp_docs = matrix_profile_blobs(
@@ -155,21 +173,6 @@ def main() -> None:
     extra["mp_half_pairs"] = int(mp_pairs)
     extra["mp_pairs_per_sec"] = mp_pairs / times["matrix_profile_mpx_w128"]
 
-    # ---- operator queries over the driver tables ----
-    # the 64-row Arrow batches are tuned for the flagship window-stats
-    # kernels (cache-resident decode+encode working sets); the small
-    # operator queries are Arrow-light and run best at the stock batch
-    # size, so scope the tuning to the stages above (VERDICT r2 #3)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    reg = qreg()
-    for name in (
-        "rollup_1m", "sliding_stats_w8", "matrix_profile_w8", "mass_w8",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_topk",
-        "embedding_near_dups", "text_stats", "fingerprint",
-    ):
-        t0 = time.time()
-        reg[name](spark, SF_DIR).count()
-        times[name] = time.time() - t0
 
     total = sum(times.values())
     out = {
