@@ -92,25 +92,18 @@ def matrix_profile_blobs(tokens_df: DataFrame, w: int, algo: str = "mpx",
     )
 
 
-def _sliding_dots_tile(ai: np.ndarray, bi: np.ndarray, w: int) -> np.ndarray:
-    """Exact sliding dot products QT[i, j] = dot(ai[i:i+w], bi[j:j+w]) for
-    every window pair of a tile: float64 windows matmul. Integer dot
-    products below 2^53 are exact in float64 regardless of the BLAS
-    summation order, so the result is the bit-exact integer QT — and
-    dgemm (~15 GFLOP/s/core) beats every O(1)-per-pair diagonal-cumsum
-    formulation we measured at w<=128 (those are memory-bound: ~15
-    full-matrix passes vs dgemm's cache-blocked single pass)."""
-    wa = np.lib.stride_tricks.sliding_window_view(ai, w).astype(np.float64)
-    wb = np.lib.stride_tricks.sliding_window_view(bi, w).astype(np.float64)
-    return wa @ wb.T
-
-
 def _tile_partial_minima(ai, bi, gi, gj, w, exclusion, both_sides):
     """Row-BLOCKED evaluation of one distance tile: dgemm a ~2^18-element
     row block, fuse the z-norm distance expression in place on the cached
     block, reduce to row/column partial minima, discard. The full na x nb
     distance matrix never touches DRAM — under 32 concurrent Python
     workers the full-matrix version stalls ~4x on memory bandwidth.
+
+    QT comes from a float64 windows matmul: integer dot products below
+    2^53 are exact in float64 regardless of BLAS summation order, and
+    dgemm (~15 GFLOP/s/core) measured FASTER than every O(1)-per-pair
+    diagonal-cumsum formulation we tried at w <= 128 (those pay ~15
+    memory-bound full-matrix passes vs dgemm's cache-blocked single one).
 
     Bit-exact: identical IEEE expression tree per element
     (2*(w - (qt - w*mu_a*mu_b)/(sd_a*sd_b)), clamped at 0), and blocks are

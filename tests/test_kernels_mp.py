@@ -261,3 +261,60 @@ def test_exclusion_zone_c_round_odd_w(w):
             res["matrix_profile"], brute, rtol=1e-6, atol=1e-6,
             err_msg=f"{algo.__name__} disagrees with C-round exclusion zone",
         )
+
+
+def test_tile_partial_minima_matches_whole_matrix():
+    """The row-blocked tile kernel (dgemm block + fused expression +
+    strict-< column updates) must equal a naive whole-matrix evaluation
+    bit-for-bit, including tie resolution and zero-variance masking."""
+    import numpy as np
+
+    from matrixprofiler_spark.operators.mp_ops import _tile_partial_minima
+
+    rng = np.random.default_rng(3)
+    w, exclusion = 16, 8
+    for (m, n, a_off, b_off) in [(300, 300, 0, 0), (300, 277, 0, 284),
+                                 (150, 400, 1000, 0), (200, 200, 0, 5)]:
+        ai = rng.integers(0, 50, m).astype(np.int64)  # small vocab -> ties
+        bi = rng.integers(0, 50, n).astype(np.int64)
+        ai[40:40 + w] = 7  # zero-variance window on the a side
+        na, nb = m - w + 1, n - w + 1
+        gi = a_off + np.arange(na)
+        gj = b_off + np.arange(nb)
+        # naive reference
+        wa = np.lib.stride_tricks.sliding_window_view(ai, w).astype(np.float64)
+        wb = np.lib.stride_tricks.sliding_window_view(bi, w).astype(np.float64)
+        qt = wa @ wb.T
+        ca = np.concatenate(([np.int64(0)], np.cumsum(ai)))
+        ca2 = np.concatenate(([np.int64(0)], np.cumsum(ai * ai)))
+        mu_a = (ca[w:] - ca[:-w]) / float(w)
+        cb = np.concatenate(([np.int64(0)], np.cumsum(bi)))
+        cb2 = np.concatenate(([np.int64(0)], np.cumsum(bi * bi)))
+        mu_b = (cb[w:] - cb[:-w]) / float(w)
+        with np.errstate(invalid="ignore"):
+            sd_a = np.sqrt((ca2[w:] - ca2[:-w]) / float(w) - mu_a * mu_a)
+            sd_b = np.sqrt((cb2[w:] - cb2[:-w]) / float(w) - mu_b * mu_b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dist = 2 * (w - (qt - w * mu_a[:, None] * mu_b[None, :])
+                        / (sd_a[:, None] * sd_b[None, :]))
+        dist[dist < 0] = 0
+        ok_a, ok_b = sd_a > 0, sd_b > 0
+        dist[~ok_a, :] = np.inf
+        dist[:, ~ok_b] = np.inf
+        dist[np.abs(gi[:, None] - gj[None, :]) <= exclusion] = np.inf
+        ref_nn = np.argmin(dist, axis=1)
+        ref_d = dist[np.arange(na), ref_nn]
+        ref_nnc = np.argmin(dist, axis=0)
+        ref_dc = dist[ref_nnc, np.arange(nb)]
+
+        dmin, nn, oka, dmin_c, nn_c, okb = _tile_partial_minima(
+            ai, bi, gi, gj, w, exclusion, True)
+        assert (oka == ok_a).all() and (okb == ok_b).all()
+        fin = np.isfinite(ref_d)
+        assert (np.isfinite(dmin) == fin).all()
+        assert (dmin[fin] == ref_d[fin]).all()
+        assert (nn[fin] == gj[ref_nn[fin]]).all()
+        finc = np.isfinite(ref_dc)
+        assert (np.isfinite(dmin_c) == finc).all()
+        assert (dmin_c[finc] == ref_dc[finc]).all()
+        assert (nn_c[finc] == gi[ref_nnc[finc]]).all()
