@@ -2287,7 +2287,9 @@ def q_stream_rollup(spark, sf_dir):
         q = stream_tokens_rollup(
             spark, inp, f"{base}/sink", f"{base}/ckpt", bucket_size=BUCKET
         )
-        q.awaitTermination()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_rollup: availableNow query did not finish")
         out = (
             spark.read.parquet(f"{base}/sink")
             .select("doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v")
