@@ -2304,6 +2304,72 @@ def q_stream_rollup(spark, sf_dir):
 SQL_STREAM_ROLLUP = SQL_ROLLUP_1M
 
 
+def q_checkpoint_rollup_resume(spark, sf_dir):
+    """KILL-AND-RESUME face of the snapshot-checkpointed rollup job: the
+    first run is killed after 2 of 4 partition groups (injected failure);
+    a second job against the same base dir resumes from the per-group
+    manifests and completes the rest. The committed output equals the
+    batch rollup bit-for-bit — the oracle is the batch SQL, so the driver
+    gate itself witnesses resumability (north_rule: resumable from
+    checkpoint with per-partition lineage)."""
+    import shutil
+    import tempfile
+
+    from .streaming.checkpoint import RollupJob
+
+    base = tempfile.mkdtemp(prefix="ckpt_rollup_")
+    try:
+        toks = _tok(spark, sf_dir)
+        job = RollupJob(spark, base, n_groups=4, bucket_size=BUCKET)
+        try:
+            job.run(toks, fail_after=2)
+            raise AssertionError("injected failure did not fire")
+        except RuntimeError:
+            pass
+        resumed = RollupJob(spark, base, n_groups=4, bucket_size=BUCKET)
+        if len(resumed.completed_groups()) != 2:
+            raise AssertionError("expected exactly 2 committed groups")
+        resumed.run(toks)
+        out = spark.read.parquet(f"{base}/stage=rollup_1m").select(
+            "doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_CHECKPOINT_ROLLUP = SQL_ROLLUP_1M
+
+
+def q_sliding_stats_chunked(spark, sf_dir):
+    """The offset-range CHUNKED path of the sliding window stats (the
+    skew-defeat mechanism: w-1-overlap chunks, every window start in
+    exactly one chunk) — per-window rows identical to the unchunked face,
+    verified by the SAME SQL oracle. Chunk length 48 forces real
+    multi-chunk docs at driver scale."""
+    from .operators.rollup import chunk_tokens
+
+    ch = chunk_tokens(_tok(spark, sf_dir), W, chunk_len=48)
+    keyed = ch.select(
+        F.concat_ws("#", "doc_id", F.col("chunk_off")).alias("doc_id"),
+        "tokens",
+    )
+    s = sliding_stats(keyed, W)
+    key = F.split(F.col("doc_id"), "#")
+    s = s.select(
+        key.getItem(0).alias("doc_id"),
+        (key.getItem(1).cast("int") + F.col("off")).cast("int").alias("off"),
+        "sum_v", "sumsq", "mean", "std", "sig", "min_v", "max_v",
+    )
+    s = s.withColumn("var", F.col("sumsq") / W - F.col("mean") * F.col("mean"))
+    zero_var = F.col("sumsq") * W == F.col("sum_v") * F.col("sum_v")
+    return s.withColumn("sig", F.when(zero_var, F.lit(None)).otherwise(F.col("sig")))
+
+
+SQL_SLIDING_STATS_CHUNKED = SQL_SLIDING_STATS
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2366,6 +2432,8 @@ def queries() -> dict:
         "rollup_by_source": q_rollup_by_source,
         "motifs_discords": q_motifs_discords,
         "stream_rollup": q_stream_rollup,
+        "checkpoint_rollup_resume": q_checkpoint_rollup_resume,
+        "sliding_stats_w8_chunked": q_sliding_stats_chunked,
     }
     return q
 
@@ -2428,4 +2496,6 @@ def oracle_sql() -> dict:
         "rollup_by_source": SQL_ROLLUP_BY_SOURCE,
         "motifs_discords": SQL_MOTIFS_DISCORDS,
         "stream_rollup": SQL_STREAM_ROLLUP,
+        "checkpoint_rollup_resume": SQL_CHECKPOINT_ROLLUP,
+        "sliding_stats_w8_chunked": SQL_SLIDING_STATS_CHUNKED,
     }

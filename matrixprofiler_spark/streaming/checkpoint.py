@@ -52,10 +52,12 @@ class RollupJob:
     one unit of commit. This mirrors a per-partition Iceberg write with
     commit metadata, at sandbox scale."""
 
-    def __init__(self, spark: SparkSession, base_dir: str | Path, n_groups: int = 8):
+    def __init__(self, spark: SparkSession, base_dir: str | Path, n_groups: int = 8,
+                 bucket_size: int = 60):
         self.spark = spark
         self.base = Path(base_dir)
         self.n_groups = n_groups
+        self.bucket_size = bucket_size
         (self.base / "manifests").mkdir(parents=True, exist_ok=True)
 
     def group_col(self):
@@ -127,7 +129,7 @@ class RollupJob:
                 raise RuntimeError(f"injected failure after {fail_after} groups")
             t0 = time.time()
             part_tokens = staged.filter(F.col("grp") == k)  # pruned read
-            out = with_derived_stats(finest_rollup(part_tokens))
+            out = with_derived_stats(finest_rollup(part_tokens, self.bucket_size))
             out_path = str(self.base / f"stage={stage}" / f"part={k}")
             out.write.mode("overwrite").parquet(out_path)
             committed = self.spark.read.parquet(out_path)
