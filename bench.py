@@ -147,8 +147,9 @@ def main() -> None:
         matrix_profile_distributed,
     )
 
-    # back to small Arrow batches: MP rows carry whole token arrays
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    # MP stays at the stock Arrow batch size: measured 607.7s vs 733s with
+    # 64-row batches (tile/blob rows are few and heavy; small batches just
+    # multiply Arrow round-trips)
     MP_CUT = 8192
     t0 = time.time()
     mp_docs = matrix_profile_blobs(
