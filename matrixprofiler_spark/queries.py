@@ -2370,6 +2370,163 @@ def q_sliding_stats_chunked(spark, sf_dir):
 SQL_SLIDING_STATS_CHUNKED = SQL_SLIDING_STATS
 
 
+def _ts_us(col: str):
+    """Microseconds since 2024-01-01 (tz-free — the events ts column is
+    TIMESTAMP_NTZ and DuckDB timestamps are naive, so an epoch-anchored
+    integer diff is the portable representation)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', {col})"
+    ).cast("long")
+
+
+_SQL_TS_US = "date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', {col})"
+
+
+def q_asof_purchases(spark, sf_dir):
+    """AS-OF JOIN (operators/asof.py — union-tag + per-key ordered window,
+    one shuffle, no range join): every event is joined to the most recent
+    hourly PURCHASE rollup bucket of the same user at or before its
+    timestamp. The oracle is DuckDB's native ASOF JOIN — identical
+    semantics, independent implementation."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("ts", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "ts")
+        .agg(F.count("*").alias("p_cnt"), F.sum(cents).alias("p_cents"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    j = asof_join(left, hourly, key="user_id", ts="ts",
+                  payload_cols=["p_cnt", "p_cents"])
+    return j.select(
+        "event_id", "user_id",
+        _ts_us("ts").alias("ts_us"),
+        F.coalesce(F.col("p_cnt"), F.lit(-1).cast("long")).alias("p_cnt"),
+        F.coalesce(F.col("p_cents"), F.lit(-1).cast("long")).alias("p_cents"),
+        F.coalesce(_ts_us("asof_ts"), F.lit(-1).cast("long")).alias("asof_us"),
+    )
+
+
+SQL_ASOF_PURCHASES = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS wstart,
+         CAST(COUNT(*) AS BIGINT) AS p_cnt,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS p_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', e.ts)
+            AS BIGINT) AS ts_us,
+       COALESCE(h.p_cnt, -1) AS p_cnt,
+       COALESCE(h.p_cents, -1) AS p_cents,
+       COALESCE(CAST(date_diff('microsecond',
+                     TIMESTAMP '2024-01-01 00:00:00', h.wstart) AS BIGINT),
+                -1) AS asof_us
+FROM events e ASOF LEFT JOIN hourly h
+  ON e.user_id = h.user_id AND e.ts >= h.wstart
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) — the
+    classic event-stream operator: lag + cumulative flag sum per user,
+    then per-session aggregates. All integer epoch-microsecond arithmetic,
+    so both engines agree exactly."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gap = _ts_us("ts") - _ts_us("prev_ts")
+    flag = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    s = ev.withColumn("flag", flag).withColumn(
+        "session_idx", F.sum("flag").over(w)
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(_ts_us("ts")).alias("start_us"),
+        F.max(_ts_us("ts")).alias("end_us"),
+        F.sum(cents).alias("sum_cents"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+),
+s AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts))
+            AS BIGINT) AS start_us,
+       CAST(MAX(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts))
+            AS BIGINT) AS end_us,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Corpus vocabulary statistics for tokenizer/curation work: top-100
+    tokens by frequency with rank and cumulative corpus coverage. The
+    global ranking window runs AFTER the groupBy has reduced the data to
+    the (bounded) vocabulary — at any corpus size the sorted side is at
+    most |vocab| rows."""
+    from pyspark.sql.window import Window
+
+    t = _tok(spark, sf_dir).select(F.explode("tokens").alias("tok"))
+    freq = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    wr = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    cum = F.sum("cnt").over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        freq.withColumn("total", total)
+        .withColumn("rank", F.row_number().over(wr))
+        .withColumn("cum", cum)
+        .filter(F.col("rank") <= 100)
+        .select(
+            "tok", "cnt", "rank",
+            (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH {TOK_CTE},
+f AS (SELECT CAST(tok AS INT) AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pos GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS t FROM f),
+r AS (
+  SELECT tok, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM f
+)
+SELECT tok, cnt, CAST(rank AS INT) AS rank,
+       CAST(cum AS DOUBLE) / t AS coverage
+FROM r, tot WHERE rank <= 100
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2434,6 +2591,9 @@ def queries() -> dict:
         "stream_rollup": q_stream_rollup,
         "checkpoint_rollup_resume": q_checkpoint_rollup_resume,
         "sliding_stats_w8_chunked": q_sliding_stats_chunked,
+        "asof_purchases": q_asof_purchases,
+        "sessionize_events": q_sessionize_events,
+        "vocab_coverage": q_vocab_coverage,
     }
     return q
 
@@ -2498,4 +2658,7 @@ def oracle_sql() -> dict:
         "stream_rollup": SQL_STREAM_ROLLUP,
         "checkpoint_rollup_resume": SQL_CHECKPOINT_ROLLUP,
         "sliding_stats_w8_chunked": SQL_SLIDING_STATS_CHUNKED,
+        "asof_purchases": SQL_ASOF_PURCHASES,
+        "sessionize_events": SQL_SESSIONIZE,
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
     }
