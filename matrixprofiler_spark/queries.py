@@ -2484,6 +2484,63 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_range_join_sessions(spark, sf_dir):
+    """RANGE (interval) JOIN (operators/rangejoin.py — bucketized
+    equi-join, no theta/nested-loop): every event matched to every session
+    interval of the same user whose ±5-minute halo contains it (its own
+    session plus any adjacent one within the halo — the halo exceeds the
+    30-min session gap precisely so adjacent sessions DO multi-match). The
+    oracle is a plain
+    BETWEEN join over the identical session CTE — independent plan, same
+    semantics."""
+    from .operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = q_sessionize_events(spark, sf_dir)
+    halo = 2700 * 1_000_000
+    iv = sess.select(
+        "user_id", "session_idx", "n_events",
+        (F.col("start_us") - halo).alias("lo"),
+        (F.col("end_us") + halo).alias("hi"),
+    )
+    pts = ev.select("event_id", "user_id", _ts_us("ts").alias("t_us"))
+    j = range_join(pts, iv, key="user_id", t="t_us", lo="lo", hi="hi",
+                   bucket_width=1800 * 1_000_000)
+    return j.select("event_id", "user_id", "t_us",
+                    "session_idx", "n_events", "lo", "hi")
+
+
+SQL_RANGE_JOIN_SESSIONS = SQL_SESSIONIZE.replace(
+    """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts))
+            AS BIGINT) AS start_us,
+       CAST(MAX(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts))
+            AS BIGINT) AS end_us,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM s GROUP BY 1, 2""",
+    """, sess AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MIN(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                            ts)) - 2700000000 AS BIGINT) AS lo,
+         CAST(MAX(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                            ts)) + 2700000000 AS BIGINT) AS hi
+  FROM s GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', e.ts)
+            AS BIGINT) AS t_us,
+       v.session_idx, v.n_events, v.lo, v.hi
+FROM events e JOIN sess v
+  ON e.user_id = v.user_id
+ AND date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', e.ts)
+     BETWEEN v.lo AND v.hi""",
+)
+
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Corpus vocabulary statistics for tokenizer/curation work: top-100
     tokens by frequency with rank and cumulative corpus coverage. The
@@ -2594,6 +2651,7 @@ def queries() -> dict:
         "asof_purchases": q_asof_purchases,
         "sessionize_events": q_sessionize_events,
         "vocab_coverage": q_vocab_coverage,
+        "range_join_sessions": q_range_join_sessions,
     }
     return q
 
@@ -2661,4 +2719,5 @@ def oracle_sql() -> dict:
         "asof_purchases": SQL_ASOF_PURCHASES,
         "sessionize_events": SQL_SESSIONIZE,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "range_join_sessions": SQL_RANGE_JOIN_SESSIONS,
     }
