@@ -2484,6 +2484,75 @@ FROM s GROUP BY 1, 2
 """
 
 
+
+def q_events_twa_rate(spark, sf_dir):
+    """Irregular-series aggregates a retention engine needs (TimescaleDB's
+    time_weighted_average / counter_agg rate, public semantics): per user,
+    trapezoidal time-weighted value and monotonic-increase rate over the
+    raw (irregularly spaced) events. All accumulators are EXACT int64 —
+    2*integral = sum((c_i + c_{i+1}) * dt_us) — so both engines agree
+    bit-for-bit, and the final doubles come from identical divisions."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.withColumn("c", cents)
+        .withColumn("t_us", _ts_us("ts"))
+        .withColumn("dt", F.lead("t_us").over(w) - F.col("t_us"))
+        .withColumn("pair", F.col("c") + F.lead("c").over(w))
+        .withColumn("inc", F.greatest(F.lead("c").over(w) - F.col("c"), F.lit(0)))
+        .filter(F.col("dt").isNotNull())
+    )
+    g = e.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("dt").alias("span_us"),
+        F.sum(F.col("pair") * F.col("dt")).alias("twa_num2"),
+        F.sum("inc").alias("increase_cents"),
+    )
+    return g.select(
+        "user_id", "n_segments", "span_us", "twa_num2", "increase_cents",
+        (F.col("twa_num2").cast("double")
+         / (F.lit(2.0) * F.col("span_us").cast("double"))).alias("twa_cents"),
+        (F.col("increase_cents").cast("double") * F.lit(1000000.0)
+         / F.col("span_us").cast("double")).alias("rate_cents_per_sec"),
+    )
+
+
+SQL_EVENTS_TWA_RATE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS c,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+              AS BIGINT) AS t_us,
+         lead(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c2,
+         lead(CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                             ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+  FROM events
+),
+seg AS (
+  SELECT user_id, t2 - t_us AS dt, c + c2 AS pair,
+         GREATEST(c2 - c, 0) AS inc
+  FROM e WHERE t2 IS NOT NULL
+),
+g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(dt) AS BIGINT) AS span_us,
+         CAST(SUM(pair * dt) AS BIGINT) AS twa_num2,
+         CAST(SUM(inc) AS BIGINT) AS increase_cents
+  FROM seg GROUP BY 1
+)
+SELECT user_id, n_segments, span_us, twa_num2, increase_cents,
+       CAST(twa_num2 AS DOUBLE) / (2.0 * CAST(span_us AS DOUBLE)) AS twa_cents,
+       CAST(increase_cents AS DOUBLE) * 1000000.0 / CAST(span_us AS DOUBLE)
+         AS rate_cents_per_sec
+FROM g
+"""
+
+
 def q_range_join_sessions(spark, sf_dir):
     """RANGE (interval) JOIN (operators/rangejoin.py — bucketized
     equi-join, no theta/nested-loop): every event matched to every session
@@ -2652,6 +2721,7 @@ def queries() -> dict:
         "sessionize_events": q_sessionize_events,
         "vocab_coverage": q_vocab_coverage,
         "range_join_sessions": q_range_join_sessions,
+        "events_twa_rate": q_events_twa_rate,
     }
     return q
 
@@ -2720,4 +2790,5 @@ def oracle_sql() -> dict:
         "sessionize_events": SQL_SESSIONIZE,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "range_join_sessions": SQL_RANGE_JOIN_SESSIONS,
+        "events_twa_rate": SQL_EVENTS_TWA_RATE,
     }
