@@ -2485,6 +2485,112 @@ FROM s GROUP BY 1, 2
 
 
 
+
+LTTB_B = 8  # offsets per LTTB bucket
+
+
+def q_downsample_lttb(spark, sf_dir):
+    """LTTB-style downsample (largest-triangle-three-buckets, Steinarsson
+    2013 — the industry viz downsample): per doc, one point per offset
+    bucket; bucket 0 keeps the first point, the last bucket keeps the last
+    point, and every middle bucket keeps the point maximizing the triangle
+    area spanned with the PREVIOUSLY CHOSEN point and the next bucket's
+    centroid. The choice is sequential (each bucket depends on the last
+    selection), and the area comparison is done on an EXACT integer score
+    (area x 2 x next-bucket count — denominators cleared), ties to the
+    smaller offset: bit-for-bit reproducible, and the oracle replays the
+    recurrence with a recursive CTE."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    B = LTTB_B
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("b", T.LongType(), False),
+        T.StructField("x", T.LongType(), False),
+        T.StructField("y", T.LongType(), False),
+    ])
+
+    def kernel(batches):
+        for batch in batches:
+            rows = []
+            for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
+                y = np.asarray(toks, dtype=np.int64)
+                n = y.size
+                if n <= B:
+                    continue
+                x = np.arange(n, dtype=np.int64)
+                b = x // B
+                maxb = int(b[-1])
+                sx = np.bincount(b, weights=x).astype(np.int64)
+                sy = np.bincount(b, weights=y).astype(np.int64)
+                c = np.bincount(b).astype(np.int64)
+                rows.append((doc_id, 0, 0, int(y[0])))
+                xp, yp = 0, int(y[0])
+                for bb in range(1, maxb):
+                    lo, hi = bb * B, min((bb + 1) * B, n)
+                    xs, ys = x[lo:hi], y[lo:hi]
+                    c1, sxn, syn = int(c[bb + 1]), int(sx[bb + 1]), int(sy[bb + 1])
+                    score = np.abs((xp * c1 - sxn) * (ys - yp)
+                                   - (xp - xs) * (syn - yp * c1))
+                    k = int(np.argmax(score))  # ties -> first = smallest x
+                    xp, yp = int(xs[k]), int(ys[k])
+                    rows.append((doc_id, bb, xp, yp))
+                rows.append((doc_id, maxb, n - 1, int(y[n - 1])))
+            yield pd.DataFrame(rows, columns=["doc_id", "b", "x", "y"])
+
+    return _tok(spark, sf_dir).filter(F.col("n_tok") > B).select(
+        "doc_id", "tokens"
+    ).mapInPandas(kernel, schema=schema)
+
+
+SQL_DOWNSAMPLE_LTTB = f"""
+WITH RECURSIVE {TOK_CTE},
+pts AS (
+  SELECT doc_id, CAST(pos - 1 AS BIGINT) AS x, CAST(tok AS BIGINT) AS y,
+         CAST((pos - 1) // {LTTB_B} AS BIGINT) AS b
+  FROM pos
+),
+nd AS (SELECT doc_id, MAX(b) AS maxb, MAX(x) AS lastx FROM pts GROUP BY 1),
+cent AS (
+  SELECT doc_id, b, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2
+),
+sel AS (
+  SELECT p.doc_id, CAST(0 AS BIGINT) AS b, p.x, p.y
+  FROM pts p JOIN nd USING (doc_id)
+  WHERE p.x = 0 AND nd.maxb >= 1
+  UNION ALL
+  SELECT s.doc_id, s.b + 1, p.x, p.y
+  FROM sel s
+  JOIN nd ON nd.doc_id = s.doc_id
+  JOIN pts p ON p.doc_id = s.doc_id AND p.b = s.b + 1
+  JOIN cent cn ON cn.doc_id = s.doc_id AND cn.b = s.b + 2
+  WHERE s.b + 1 <= nd.maxb - 1
+    AND NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.doc_id = p.doc_id AND q.b = p.b
+        AND (abs((s.x * cn.c - cn.sx) * (q.y - s.y)
+                 - (s.x - q.x) * (cn.sy - s.y * cn.c))
+               > abs((s.x * cn.c - cn.sx) * (p.y - s.y)
+                     - (s.x - p.x) * (cn.sy - s.y * cn.c))
+          OR (abs((s.x * cn.c - cn.sx) * (q.y - s.y)
+                  - (s.x - q.x) * (cn.sy - s.y * cn.c))
+                = abs((s.x * cn.c - cn.sx) * (p.y - s.y)
+                      - (s.x - p.x) * (cn.sy - s.y * cn.c))
+              AND q.x < p.x))
+    )
+)
+SELECT doc_id, b, x, y FROM sel
+UNION ALL
+SELECT p.doc_id, p.b, p.x, p.y
+FROM pts p JOIN nd USING (doc_id)
+WHERE nd.maxb >= 1 AND p.x = nd.lastx
+"""
+
+
 def q_events_twa_rate(spark, sf_dir):
     """Irregular-series aggregates a retention engine needs (TimescaleDB's
     time_weighted_average / counter_agg rate, public semantics): per user,
@@ -2722,6 +2828,7 @@ def queries() -> dict:
         "vocab_coverage": q_vocab_coverage,
         "range_join_sessions": q_range_join_sessions,
         "events_twa_rate": q_events_twa_rate,
+        "downsample_lttb": q_downsample_lttb,
     }
     return q
 
@@ -2791,4 +2898,5 @@ def oracle_sql() -> dict:
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "range_join_sessions": SQL_RANGE_JOIN_SESSIONS,
         "events_twa_rate": SQL_EVENTS_TWA_RATE,
+        "downsample_lttb": SQL_DOWNSAMPLE_LTTB,
     }
