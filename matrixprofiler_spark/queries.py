@@ -2486,6 +2486,45 @@ FROM s GROUP BY 1, 2
 
 
 
+
+def q_token_percentiles(spark, sf_dir):
+    """Exact discrete percentiles of token values per doc (the percentile
+    rollup a retention engine serves): element at rank ceil(p*n) of the
+    sorted array — entirely JVM-side (array_sort + element_at, no UDF),
+    identical integer ranks in both engines."""
+    t = _tok(spark, sf_dir).filter(F.col("n_tok") > 0)
+    arr = F.array_sort("tokens")
+    n = F.col("n_tok")
+
+    def pick(p):
+        idx = F.ceil(F.lit(p) * n).cast("int")
+        return F.element_at(arr, idx)
+
+    return t.select(
+        "doc_id", n.alias("n_tok"),
+        pick(0.25).alias("p25"), pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"), pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
+
+
+SQL_TOKEN_PERCENTILES = f"""
+WITH {TOK_CTE},
+a AS (
+  SELECT doc_id, list_sort(list(tok)) AS arr,
+         CAST(COUNT(*) AS INT) AS n_tok
+  FROM pos GROUP BY 1
+)
+SELECT doc_id, n_tok,
+       CAST(arr[CAST(ceil(0.25 * n_tok) AS INT)] AS INT) AS p25,
+       CAST(arr[CAST(ceil(0.50 * n_tok) AS INT)] AS INT) AS p50,
+       CAST(arr[CAST(ceil(0.75 * n_tok) AS INT)] AS INT) AS p75,
+       CAST(arr[CAST(ceil(0.90 * n_tok) AS INT)] AS INT) AS p90,
+       CAST(arr[CAST(ceil(0.99 * n_tok) AS INT)] AS INT) AS p99
+FROM a
+"""
+
+
 LTTB_B = 8  # offsets per LTTB bucket
 
 
@@ -2829,6 +2868,7 @@ def queries() -> dict:
         "range_join_sessions": q_range_join_sessions,
         "events_twa_rate": q_events_twa_rate,
         "downsample_lttb": q_downsample_lttb,
+        "token_percentiles": q_token_percentiles,
     }
     return q
 
@@ -2899,4 +2939,5 @@ def oracle_sql() -> dict:
         "range_join_sessions": SQL_RANGE_JOIN_SESSIONS,
         "events_twa_rate": SQL_EVENTS_TWA_RATE,
         "downsample_lttb": SQL_DOWNSAMPLE_LTTB,
+        "token_percentiles": SQL_TOKEN_PERCENTILES,
     }
