@@ -164,10 +164,18 @@ def main() -> None:
     times["matrix_profile_mpx_w128"] = time.time() - t0
     extra["mp_points"] = int(mp_points + mp_points_dist)
     extra["mp_points_distributed"] = int(mp_points_dist)
-    # half-pair throughput (the MP work metric: n^2/2 window pairs per doc)
+    # half-pair throughput (the MP work metric: n^2/2 window pairs per doc).
+    # Count only docs that actually compute a profile (n_tok >= 2w = 256:
+    # below that there are no non-excluded pairs), so the metric isn't
+    # inflated by the ~1/3 of docs that contribute zero quadratic work.
     mp_pairs = (
         tokens.select(
-            F.sum((F.col("n_tok").cast("double") - 127) ** 2 / 2).alias("p")
+            F.sum(
+                F.when(
+                    F.col("n_tok") >= 256,
+                    (F.col("n_tok").cast("double") - 127) ** 2 / 2,
+                ).otherwise(F.lit(0.0))
+            ).alias("p")
         ).collect()[0][0]
         or 0.0
     )

@@ -10,10 +10,17 @@ within partitions, linear work. This is the standard distributed as-of
 shape (a sort-merge in disguise); a naive range join would be O(L*R) per
 key and a per-key ``mapGroups`` would leave the JVM.
 
-Skew note (100 TB): the window partitions by key — a single hot key
-serializes. For hot-key workloads, pre-split the right side by time range
-and salt the left with the matching range id (same composition as the
-rollup's offset chunking); not needed for the driver tables.
+Skew (100 TB): the plain window partitions by key — a single hot key (a
+power-user in an events table) serializes onto one task. ``split_width``
+activates the salted variant: both sides are salted with a time-range id
+``floor(ts / split_width)`` so the window partitions by (key, range) —
+the hot key spreads over its time ranges — and a per-(key, range)
+boundary carry (the latest right payload from any EARLIER range,
+computed on one-row-per-range aggregates, so the carry window itself
+cannot be hot) is injected as a synthetic first row of each bucket.
+Same composition as the rollup's offset chunking. Cost: three extra
+aggregated shuffles (range census, per-range last, boundary join) — all
+over (key, range) cardinality, not row cardinality.
 
 DuckDB oracle face: native ``ASOF JOIN`` (identical semantics: greatest
 right ts <= left ts per key).
@@ -25,8 +32,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _seconds(col, dtype) -> "F.Column":
+    """ts column -> double seconds, for any ts type. TIMESTAMP_NTZ has no
+    direct double cast in Spark 4; route timestamps through unix_micros
+    (an exact int64 — no double rounding until the final divide)."""
+    if dtype.typeName().startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp")).cast("double") / F.lit(1e6)
+    return col.cast("double")
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
-              payload_cols: list[str], tolerance=None) -> DataFrame:
+              payload_cols: list[str], tolerance=None,
+              split_width: float | None = None) -> DataFrame:
     """For each left row: the right row with the greatest ``ts`` <= left
     ``ts``, matching on ``key`` (backward as-of, inclusive). Right rows
     must be unique per (key, ts) — enforce upstream (e.g. a rollup).
@@ -34,7 +51,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     Returns the left columns plus ``payload_cols`` from the matched right
     row (NULL when no right row precedes the left row, or when the match
     is older than ``tolerance`` seconds if given).
+
+    ``split_width`` (same units as ``ts`` cast to double, e.g. seconds
+    for timestamps) switches to the salted hot-key-safe plan; results are
+    identical for any width (pytest-asserted).
     """
+    if split_width is not None:
+        return _asof_join_salted(left, right, key, ts, payload_cols,
+                                 tolerance, split_width)
     payload = F.struct(*[F.col(c) for c in payload_cols], F.col(ts).alias("__rts"))
     r = right.select(
         F.col(key).alias("__k"), F.col(ts).alias("__ts"),
@@ -61,7 +85,87 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     matched = F.col("__match")
     if tolerance is not None:
-        age = F.col("__ts").cast("double") - matched["__rts"].cast("double")
+        tt = right.schema[ts].dataType
+        age = _seconds(F.col("__ts"), tt) - _seconds(matched["__rts"], tt)
+        matched = F.when(age <= tolerance, matched)
+    return carried.select(
+        *out_cols,
+        *[matched[c].alias(c) for c in payload_cols],
+        matched["__rts"].alias("asof_ts"),
+    )
+
+
+def _asof_join_salted(left: DataFrame, right: DataFrame, key: str, ts: str,
+                      payload_cols: list[str], tolerance,
+                      split_width: float) -> DataFrame:
+    """Hot-key-safe as-of: window partitioned by (key, time-range).
+
+    A left row in range b may match a right row from an earlier range, so
+    each (key, range) bucket is seeded with a boundary row carrying the
+    latest right payload from all ranges < b. The carry is computed on
+    per-(key, range) MAX aggregates — one row per range per key — so the
+    per-key carry window is bounded by the range count, never by row
+    count. Struct MAX orders by the leading __ts field; right rows are
+    unique per (key, ts) upstream, so the max is well-defined.
+    """
+    ts_type = right.schema[ts].dataType
+
+    def rid(c):
+        return F.floor(_seconds(c, ts_type) / F.lit(float(split_width))).cast("long")
+
+    payload = F.struct(*[F.col(c) for c in payload_cols], F.col(ts).alias("__rts"))
+    r = right.select(
+        F.col(key).alias("__k"), F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"), payload.alias("__payload"),
+    ).withColumn("__r", rid(F.col("__ts")))
+    l = left.select(
+        F.col(key).alias("__k"), F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    ).withColumn("__r", rid(F.col("__ts")))
+    r = r.withColumn("__lrow", F.lit(None).cast(l.schema["__lrow"].dataType))
+
+    # every (key, range) that holds a left or right row needs a carry row
+    need = l.select("__k", "__r").union(r.select("__k", "__r")).distinct()
+    last_in_range = r.groupBy("__k", "__r").agg(
+        F.max(F.struct(F.col("__ts"), F.col("__payload"))).alias("__m")
+    )
+    wb = (
+        Window.partitionBy("__k").orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = (
+        need.join(last_in_range, ["__k", "__r"], "left")
+        .withColumn("__carry", F.max("__m").over(wb))
+        .filter(F.col("__carry").isNotNull())
+        .select(
+            "__k", "__r",
+            F.lit(None).cast(l.schema["__ts"].dataType).alias("__ts"),
+            F.lit(-1).alias("__side"),
+            F.col("__carry.__payload").alias("__payload"),
+            F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
+        )
+    )
+    # boundary rows (side -1, null ts) sort first via the explicit flag;
+    # then right-before-left at equal ts (inclusive backward), as in the
+    # unsalted plan
+    first_flag = F.when(F.col("__side") == -1, F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("__k", "__r")
+        .orderBy(first_flag, "__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l.unionByName(r).unionByName(bounds)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    matched = F.col("__match")
+    if tolerance is not None:
+        tt = right.schema[ts].dataType
+        age = _seconds(F.col("__ts"), tt) - _seconds(matched["__rts"], tt)
         matched = F.when(age <= tolerance, matched)
     return carried.select(
         *out_cols,

@@ -71,11 +71,15 @@ class RollupJob:
 
     def input_fingerprint(self, tokens: DataFrame) -> dict:
         """Order-independent input identity: row count + bit_xor of
-        xxhash64(doc_id, n_tok). One map-side-combinable aggregation,
-        overflow-free under ANSI mode."""
+        xxhash64(doc_id, n_tok, tokens). Hashing the token array itself
+        (xxhash64 accepts array columns) means two inputs with identical
+        (doc_id, n_tok) but different token VALUES get different
+        fingerprints — a same-shape/different-content input can never
+        silently serve the stale staged copy. One map-side-combinable
+        aggregation, overflow-free under ANSI mode (bit_xor, not sum)."""
         r = tokens.agg(
             F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("h"),
+            F.expr("bit_xor(xxhash64(doc_id, n_tok, tokens))").alias("h"),
         ).collect()[0]
         return {"n": int(r["n"]), "h": int(r["h"] or 0)}
 

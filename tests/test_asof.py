@@ -42,6 +42,80 @@ def test_asof_tolerance(spark):
     assert out1["b"] == 200        # age 0 always kept
 
 
+def test_asof_salted_matches_unsalted(spark):
+    """The salted (hot-key-safe) plan is result-identical to the plain
+    plan for any split width, including widths that slice a key's history
+    into many ranges and widths larger than the whole span."""
+    left, right = _frames(spark)
+    base = sorted(
+        (r.k, r.t, r.tag, r.v, r.asof_ts)
+        for r in asof_join(left, right, "k", "t", ["v"]).collect()
+    )
+    for width in (1, 2, 3, 100):
+        salted = sorted(
+            (r.k, r.t, r.tag, r.v, r.asof_ts)
+            for r in asof_join(left, right, "k", "t", ["v"],
+                               split_width=width).collect()
+        )
+        assert salted == base, f"width={width}"
+    # tolerance composes identically
+    tol = sorted(
+        (r.tag, r.v)
+        for r in asof_join(left, right, "k", "t", ["v"], tolerance=1).collect()
+    )
+    tol_s = sorted(
+        (r.tag, r.v)
+        for r in asof_join(left, right, "k", "t", ["v"], tolerance=1,
+                           split_width=2).collect()
+    )
+    assert tol_s == tol
+
+
+def test_asof_salted_hot_key_parallelism(spark):
+    """One key owning ~all rows: the salted window must partition by
+    (key, range) — visible in the plan's window Exchange — and spread the
+    hot key across >1 task, while staying result-identical."""
+    import random
+
+    rng = random.Random(7)
+    hot_left = [(1, t, f"L{t}") for t in range(0, 2000, 2)]
+    hot_right = [(1, t, rng.randrange(10**6)) for t in range(1, 2000, 2)]
+    left = spark.createDataFrame(hot_left + [(2, 5, "x")],
+                                 "k long, t long, tag string")
+    right = spark.createDataFrame(hot_right + [(2, 3, 42)],
+                                  "k long, t long, v long")
+    plain = sorted(
+        (r.k, r.t, r.tag, r.v, r.asof_ts)
+        for r in asof_join(left, right, "k", "t", ["v"]).collect()
+    )
+    salted_df = asof_join(left, right, "k", "t", ["v"], split_width=100)
+    salted = sorted(
+        (r.k, r.t, r.tag, r.v, r.asof_ts) for r in salted_df.collect()
+    )
+    assert salted == plain
+    # the carry-forward window partitions on (key, range id), not key alone
+    plan = salted_df._sc._jvm.PythonSQLUtils.explainString(
+        salted_df._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(__k" in plan and "__r" in plan.split(
+        "hashpartitioning(__k", 1)[1][:40]
+    # the hot key's rows actually land on >1 task in the window stage
+    # (AQE would coalesce this test-sized shuffle into one partition, so
+    # pin it off for the task-count probe — at real scale the partitions
+    # are far above the coalesce target and stay separate)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        n_parts = (
+            asof_join(left, right, "k", "t", ["v"], split_width=100)
+            .filter(F.col("k") == 1)
+            .withColumn("pid", F.spark_partition_id())
+            .select("pid").distinct().count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert n_parts > 1
+
+
 def test_asof_plan_no_cartesian(spark):
     left, right = _frames(spark)
     plan = asof_join(left, right, "k", "t", ["v"])._sc._jvm.PythonSQLUtils.explainString(

@@ -99,6 +99,23 @@ def test_changed_input_same_base_dir_is_rejected(spark, tokens, tmp_path):
     assert job2.run(tokens) == []
 
 
+def test_same_shape_different_tokens_is_rejected(spark, tokens, tmp_path):
+    """The fingerprint must hash token VALUES, not just (doc_id, n_tok):
+    an input with identical doc ids and lengths but perturbed token
+    contents is a DIFFERENT input and must be rejected against committed
+    work, not silently served the stale staged copy."""
+    job = RollupJob(spark, tmp_path, n_groups=2)
+    job.run(tokens)
+    # same doc_id, same n_tok, every token value shifted by +1
+    perturbed = tokens.withColumn(
+        "tokens", F.transform("tokens", lambda t: t + F.lit(1))
+    )
+    assert perturbed.count() == tokens.count()
+    job2 = RollupJob(spark, tmp_path, n_groups=2)
+    with pytest.raises(ValueError, match="different input"):
+        job2.stage_input(perturbed)
+
+
 def test_manifest_records_input_fingerprint(spark, tokens, tmp_path):
     job = RollupJob(spark, tmp_path, n_groups=2)
     job.run(tokens)
