@@ -54,6 +54,10 @@ def build_spark(cpus: int):
         # (measured min-of-2 both run orders: 64 beats 256/1024 on the
         # window-stats stage)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # FAIR lets the two overlapped MP sub-jobs interleave tasks (FIFO
+        # would starve the second job until the first has spare slots);
+        # all other bench stages are single-job, unaffected
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", "48g")
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
@@ -89,27 +93,67 @@ def main() -> None:
 
     parts = 4 * CPUS
 
-    # ---- flagship: tier rollup cascade (1m -> 1h -> 1d) ----
-    t0 = time.time()
-    rolled = with_derived_stats(tier_rollup(tokens, num_partitions=parts, persist=True))
-    rollup_points = rolled.count()
-    times["rollup_tiers"] = time.time() - t0
+    # ---- flagship stages: min-of-3, order rotated between rounds ----
+    # The sandbox CPU quota fluctuates ~2x; a single noisy window halved
+    # the r3 headline (window_stats 29.5s in the driver run vs 9.6s solo
+    # on identical code). Same recipe as BENCH/scaling.py: repeat each
+    # stage 3x, rotate the stage order each round (so no stage always
+    # pays the cold-cache / post-heavy-stage position), report the min
+    # and persist the full spread.
+    counts: dict[str, int] = {}
+    keeper: dict = {}
 
-    # ---- gap-fill over the 1m tier (reuses the persisted 1m tier) ----
-    t0 = time.time()
-    m1 = rolled.filter(F.col("tier") == "1m")
-    holey = m1.filter(F.pmod(F.xxhash64("doc_id") + F.col("bucket"), F.lit(20)) != 0)
-    filled_points = gap_fill(holey).count()
-    times["gapfill_1m"] = time.time() - t0
+    def stage_rollup():
+        # full cascade 1m -> 1h -> 1d; first run's persisted tiers are
+        # kept as the gap-fill input (production shape: tier tables are
+        # written once and read by the next cascade step), later runs
+        # unpersist their own intermediates
+        handles: list = []
+        rolled = with_derived_stats(
+            tier_rollup(tokens, num_partitions=parts, persist=True,
+                        persisted_out=handles)
+        )
+        counts["rollup_points"] = rolled.count()
+        if "rolled" not in keeper:
+            keeper["rolled"] = rolled
+        else:
+            for h in handles:
+                h.unpersist()
 
-    # ---- raw tier: per-window stats, Gorilla-encoded ----
-    # offset-range chunking (w-1 overlap) caps any task at chunk_len+w-1
-    # tokens: the 16k-token Zipf tail no longer pins single tasks
-    # (identical per-window outputs — chunked==unchunked is pytest-covered)
-    t0 = time.time()
-    ws = window_stats_chunked(tokens, w=128, chunk_len=4096, num_partitions=parts)
-    window_points = ws.agg(F.sum("n_windows")).collect()[0][0] or 0
-    times["window_stats_w128"] = time.time() - t0
+    def stage_gapfill():
+        m1 = keeper["rolled"].filter(F.col("tier") == "1m")
+        holey = m1.filter(
+            F.pmod(F.xxhash64("doc_id") + F.col("bucket"), F.lit(20)) != 0
+        )
+        counts["filled_points"] = gap_fill(holey).count()
+
+    def stage_window():
+        # offset-range chunking (w-1 overlap) caps any task at
+        # chunk_len+w-1 tokens: the 16k-token Zipf tail no longer pins
+        # single tasks (chunked==unchunked is pytest-covered)
+        ws = window_stats_chunked(tokens, w=128, chunk_len=4096,
+                                  num_partitions=parts)
+        counts["window_points"] = ws.agg(F.sum("n_windows")).collect()[0][0] or 0
+
+    stages = {
+        "rollup_tiers": stage_rollup,
+        "gapfill_1m": stage_gapfill,
+        "window_stats_w128": stage_window,
+    }
+    order = list(stages)
+    runs: dict[str, list[float]] = {k: [] for k in order}
+    for rnd in range(3):
+        for name in order[rnd:] + order[:rnd]:
+            t0 = time.time()
+            stages[name]()
+            runs[name].append(round(time.time() - t0, 3))
+    for name in order:
+        times[name] = min(runs[name])
+    extra["flagship_runs"] = runs
+
+    rollup_points = counts["rollup_points"]
+    filled_points = counts["filled_points"]
+    window_points = counts["window_points"]
 
     # rolled-up points across all retention tiers: bucket rows (x5 stats)
     # plus the 4 per-window stat series points of the raw tier
@@ -150,17 +194,47 @@ def main() -> None:
     # MP stays at the stock Arrow batch size: measured 607.7s vs 733s with
     # 64-row batches (tile/blob rows are few and heavy; small batches just
     # multiply Arrow round-trips)
+    #
+    # The two sub-stages run CONCURRENTLY from two driver threads (Spark
+    # schedules jobs from any thread of one SparkContext): serially, each
+    # sub-stage's straggler tail idles the whole cluster; overlapped, the
+    # other job's pending tasks fill those slots. Work is unchanged —
+    # only the idle tail is reclaimed.
+    import threading
+
     MP_CUT = 8192
     t0 = time.time()
-    mp_docs = matrix_profile_blobs(
-        tokens.filter(F.col("n_tok") <= MP_CUT), w=128,
-        max_tokens=MP_CUT, num_partitions=parts,
-    )
-    mp_points = mp_docs.agg(F.sum("profile_len")).collect()[0][0] or 0
-    mp_points_dist = matrix_profile_distributed(
-        tokens.filter(F.col("n_tok") > MP_CUT), w=128,
-        chunk_len=3072, num_partitions=parts,
-    ).count()
+    mp_res: dict = {}
+    mp_err: list = []
+
+    def _run_blobs():
+        try:
+            mp_docs = matrix_profile_blobs(
+                tokens.filter(F.col("n_tok") <= MP_CUT), w=128,
+                max_tokens=MP_CUT, num_partitions=parts,
+            )
+            mp_res["blobs"] = mp_docs.agg(F.sum("profile_len")).collect()[0][0] or 0
+        except BaseException as e:  # surfaced after join
+            mp_err.append(e)
+
+    def _run_dist():
+        try:
+            mp_res["dist"] = matrix_profile_distributed(
+                tokens.filter(F.col("n_tok") > MP_CUT), w=128,
+                chunk_len=3072, num_partitions=parts,
+            ).count()
+        except BaseException as e:
+            mp_err.append(e)
+
+    threads = [threading.Thread(target=_run_blobs), threading.Thread(target=_run_dist)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if mp_err:
+        raise mp_err[0]
+    mp_points = mp_res["blobs"]
+    mp_points_dist = mp_res["dist"]
     times["matrix_profile_mpx_w128"] = time.time() - t0
     extra["mp_points"] = int(mp_points + mp_points_dist)
     extra["mp_points_distributed"] = int(mp_points_dist)

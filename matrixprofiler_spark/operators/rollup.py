@@ -149,21 +149,28 @@ def with_derived_stats(rollup: DataFrame) -> DataFrame:
 
 
 def tier_rollup(tokens_df: DataFrame, num_partitions: int | None = None,
-                persist: bool = False) -> DataFrame:
+                persist: bool = False,
+                persisted_out: list | None = None) -> DataFrame:
     """Full cascade raw->1m->1h->1d; returns the union of tier tables.
 
     ``persist=True`` caches the finer tiers so the union doesn't re-run the
     kernel per branch (in production each tier is an Iceberg table written
     once and read by the next cascade step, which serves the same purpose —
-    see streaming/checkpoint.py)."""
+    see streaming/checkpoint.py). ``persisted_out`` (a caller-supplied
+    list) receives the persisted intermediates so a repeated-measurement
+    harness can unpersist them without clearing unrelated caches."""
     if num_partitions:
         tokens_df = salted(tokens_df, num_partitions)
     m1 = finest_rollup(tokens_df, TIER_SIZES["1m"])
     if persist:
         m1 = m1.persist()
+        if persisted_out is not None:
+            persisted_out.append(m1)
     h1 = cascade_tier(m1, TIER_SIZES["1m"], TIER_SIZES["1h"], "1h")
     if persist:
         h1 = h1.persist()
+        if persisted_out is not None:
+            persisted_out.append(h1)
     d1 = cascade_tier(h1, TIER_SIZES["1h"], TIER_SIZES["1d"], "1d")
     return m1.unionByName(h1).unionByName(d1)
 
