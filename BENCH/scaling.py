@@ -34,9 +34,7 @@ from matrixprofiler_spark.sources.tokens import ensure_synth_tokens
 cpus = int(sys.argv[1]); parts = int(sys.argv[2]); n_docs = int(sys.argv[3])
 # N executors x 4 cores each: a faithful proxy for "N vs 4N executors" —
 # each executor is its own JVM + python workers, like a real cluster node.
-exec_cores = 4 if cpus >= 4 else 2
-if cpus == 8 and os.environ.get("EXEC_CORES") == "2":
-    exec_cores = 2
+exec_cores = int(os.environ.get("EXEC_CORES", "4" if cpus >= 4 else "2"))
 n_exec = max(1, cpus // exec_cores)
 os.makedirs({repo!r} + "/dist", exist_ok=True)
 subprocess.run(["zip", "-qr", {repo!r} + "/dist/mps.zip", "matrixprofiler_spark",
@@ -172,6 +170,7 @@ def main():
     # cannot reach 0.8 on this 16-physical-core SMT box.
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 120000
+    user_exec_cores = os.environ.get("EXEC_CORES")  # explicit override only
     if n_small == 2:
         os.environ.setdefault("EXEC_CORES", "2")
     n_big = 4 * n_small
@@ -206,7 +205,10 @@ def main():
         if hw["hw_ceiling_efficiency"] else None,
     }
     print(json.dumps(result, indent=2))
-    with open(REPO / "BENCH" / f"scaling_result_{n_small}to{n_big}.json", "w") as f:
+    suffix = f"_{user_exec_cores}core" if user_exec_cores else ""
+    with open(
+        REPO / "BENCH" / f"scaling_result_{n_small}to{n_big}{suffix}.json", "w"
+    ) as f:
         json.dump(result, f, indent=2)
 
 

@@ -2268,22 +2268,28 @@ FROM mo m JOIN di d ON m.doc_id = d.doc_id AND m.rn = 1 AND d.rn = 1""",
 )
 
 
-def q_stream_rollup(spark, sf_dir):
+def q_stream_rollup(spark, sf_dir, sink_dir: str | None = None):
     """STRUCTURED STREAMING face of the finest-tier rollup: the driver
     tokens table is staged as a file-source stream, a checkpointed
     availableNow streaming query rolls it up incrementally into a parquet
     sink, and the COMPLETED sink is returned. Same kernel as the batch
     path (finest_rollup is a streaming-legal transformation), so rows
-    equal the batch rollup bit-for-bit — the oracle is the batch SQL."""
+    equal the batch rollup bit-for-bit — the oracle is the batch SQL.
+
+    Default (driver) mode uses a self-cleaning temp dir, so the bounded
+    result set is materialized before the dir is removed — the same rows
+    the driver would collect anyway. Pass ``sink_dir`` (the 100-TB path:
+    a durable table location) and the sink DataFrame is returned lazily,
+    no collect, dirs retained."""
     import shutil
     import tempfile
 
     from .streaming.stream_rollup import stream_tokens_rollup
 
-    base = tempfile.mkdtemp(prefix="stream_rollup_")
+    base = sink_dir or tempfile.mkdtemp(prefix="stream_rollup_")
     try:
         inp = f"{base}/input"
-        _tok(spark, sf_dir).write.parquet(inp)
+        _tok(spark, sf_dir).write.mode("overwrite").parquet(inp)
         q = stream_tokens_rollup(
             spark, inp, f"{base}/sink", f"{base}/ckpt", bucket_size=BUCKET
         )
@@ -2294,30 +2300,38 @@ def q_stream_rollup(spark, sf_dir):
             spark.read.parquet(f"{base}/sink")
             .select("doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v")
         )
-        # the sink dir is deleted on return; materialize locally first
+        if sink_dir is not None:
+            return out
+        # the temp sink dir is deleted on return; materialize locally first
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        if sink_dir is None:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 SQL_STREAM_ROLLUP = SQL_ROLLUP_1M
 
 
-def q_checkpoint_rollup_resume(spark, sf_dir):
+def q_checkpoint_rollup_resume(spark, sf_dir, sink_dir: str | None = None):
     """KILL-AND-RESUME face of the snapshot-checkpointed rollup job: the
     first run is killed after 2 of 4 partition groups (injected failure);
     a second job against the same base dir resumes from the per-group
     manifests and completes the rest. The committed output equals the
     batch rollup bit-for-bit — the oracle is the batch SQL, so the driver
     gate itself witnesses resumability (north_rule: resumable from
-    checkpoint with per-partition lineage)."""
+    checkpoint with per-partition lineage).
+
+    Default (driver) mode materializes the bounded result set so the temp
+    base dir can be removed. Pass ``sink_dir`` (the 100-TB path: a
+    durable checkpoint base) for a lazy, no-collect return with the base
+    dir — manifests, staged input and committed stage — retained."""
     import shutil
     import tempfile
 
     from .streaming.checkpoint import RollupJob
 
-    base = tempfile.mkdtemp(prefix="ckpt_rollup_")
+    base = sink_dir or tempfile.mkdtemp(prefix="ckpt_rollup_")
     try:
         toks = _tok(spark, sf_dir)
         job = RollupJob(spark, base, n_groups=4, bucket_size=BUCKET)
@@ -2333,10 +2347,13 @@ def q_checkpoint_rollup_resume(spark, sf_dir):
         out = spark.read.parquet(f"{base}/stage=rollup_1m").select(
             "doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v"
         )
+        if sink_dir is not None:
+            return out
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        if sink_dir is None:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 SQL_CHECKPOINT_ROLLUP = SQL_ROLLUP_1M
@@ -2554,32 +2571,95 @@ def q_downsample_lttb(spark, sf_dir):
     ])
 
     def kernel(batches):
+        # LTTB's bucket choice is inherently sequential PER DOC (bucket
+        # bb's winner feeds bucket bb+1's triangle), so the recurrence
+        # can't vectorize along a doc — but it CAN vectorize ACROSS docs:
+        # all docs in the Arrow batch advance bucket-by-bucket in
+        # lockstep, one (D x B) numpy step per bucket index. Python-loop
+        # iterations per batch drop from sum(buckets per doc) to
+        # max(buckets per doc) — the 16k-token Zipf-tail doc no longer
+        # pays ~2k per-bucket Python steps alone; the whole batch
+        # amortizes them. Integer arithmetic, np.abs and first-tie argmax
+        # are identical to the per-doc formulation (oracle stays
+        # bit-green).
         for batch in batches:
-            rows = []
-            for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
-                y = np.asarray(toks, dtype=np.int64)
-                n = y.size
-                if n <= B:
-                    continue
-                x = np.arange(n, dtype=np.int64)
-                b = x // B
-                maxb = int(b[-1])
-                sx = np.bincount(b, weights=x).astype(np.int64)
-                sy = np.bincount(b, weights=y).astype(np.int64)
-                c = np.bincount(b).astype(np.int64)
-                rows.append((doc_id, 0, 0, int(y[0])))
-                xp, yp = 0, int(y[0])
-                for bb in range(1, maxb):
-                    lo, hi = bb * B, min((bb + 1) * B, n)
-                    xs, ys = x[lo:hi], y[lo:hi]
-                    c1, sxn, syn = int(c[bb + 1]), int(sx[bb + 1]), int(sy[bb + 1])
-                    score = np.abs((xp * c1 - sxn) * (ys - yp)
-                                   - (xp - xs) * (syn - yp * c1))
-                    k = int(np.argmax(score))  # ties -> first = smallest x
-                    xp, yp = int(xs[k]), int(ys[k])
-                    rows.append((doc_id, bb, xp, yp))
-                rows.append((doc_id, maxb, n - 1, int(y[n - 1])))
-            yield pd.DataFrame(rows, columns=["doc_id", "b", "x", "y"])
+            docs = [
+                (doc_id, np.asarray(toks, dtype=np.int64))
+                for doc_id, toks in zip(batch["doc_id"], batch["tokens"])
+                if len(toks) > B
+            ]
+            if not docs:
+                continue
+            # longest first -> the still-active docs at step k are always
+            # a PREFIX, so the lockstep matrices shrink as short docs
+            # finish: total work stays ~sum(m_i) like the per-doc loop,
+            # but the Python iteration count is max(m_i)
+            docs.sort(key=lambda p: -p[1].size)
+            ids = np.array([d for d, _ in docs])
+            ys_all = [y for _, y in docs]
+            n = np.array([y.size for y in ys_all], dtype=np.int64)
+            maxb = (n - 1) // B           # last bucket index per doc
+            m = maxb - 1                  # middle buckets per doc
+            D, M = len(docs), int(m.max(initial=0))
+            # flat (ragged) per-doc tables — memory O(total tokens), not
+            # O(D x max_buckets). Middle buckets (1..maxb-1) are always
+            # FULL (only bucket maxb can be partial), so the candidate
+            # matrix needs no mask; x sums are arithmetic-series exact,
+            # so only y needs storage.
+            nb = maxb + 1
+            soff = np.zeros(D + 1, dtype=np.int64)
+            np.cumsum(nb, out=soff[1:])
+            SY = np.zeros(int(soff[-1]), dtype=np.int64)
+            C = np.zeros_like(SY)
+            yoff = np.zeros(D + 1, dtype=np.int64)
+            np.cumsum(np.maximum(m, 0) * B, out=yoff[1:])
+            YF = np.zeros(int(yoff[-1]), dtype=np.int64)
+            for i, y in enumerate(ys_all):
+                b = np.arange(y.size, dtype=np.int64) // B
+                SY[soff[i]:soff[i] + nb[i]] = np.bincount(b, weights=y).astype(np.int64)
+                C[soff[i]:soff[i] + nb[i]] = np.bincount(b).astype(np.int64)
+                if m[i] > 0:
+                    YF[yoff[i]:yoff[i + 1]] = y[B:(int(m[i]) + 1) * B]
+            ar = np.arange(B, dtype=np.int64)
+
+            out_id = [ids, ids]
+            out_b = [np.zeros(D, dtype=np.int64), maxb]
+            out_x = [np.zeros(D, dtype=np.int64), n - 1]
+            out_y = [np.array([y[0] for y in ys_all], dtype=np.int64),
+                     np.array([y[-1] for y in ys_all], dtype=np.int64)]
+
+            xp = np.zeros(D, dtype=np.int64)
+            yp = np.array([y[0] for y in ys_all], dtype=np.int64)
+            a = D
+            for k in range(M):
+                while a > 0 and m[a - 1] <= k:
+                    a -= 1                        # shrink to active prefix
+                nxt = k + 2                       # next bucket index
+                c1 = C[soff[:a] + nxt]
+                syn = SY[soff[:a] + nxt]
+                # sum(x) over bucket nxt: c1 consecutive offsets from nxt*B
+                sxn = c1 * (nxt * B) + (c1 * (c1 - 1)) // 2
+                xs = (k + 1) * B + ar             # shared across docs
+                ys = YF[(yoff[:a] + k * B)[:, None] + ar[None, :]]
+                score = np.abs(
+                    (xp[:a] * c1 - sxn)[:, None] * (ys - yp[:a, None])
+                    - (xp[:a, None] - xs[None, :]) * (syn - yp[:a] * c1)[:, None]
+                )
+                kk = np.argmax(score, axis=1)     # ties -> first = smallest x
+                nxp = xs[kk]
+                nyp = ys[np.arange(a), kk]
+                out_id.append(ids[:a])
+                out_b.append(np.full(a, k + 1, dtype=np.int64))
+                out_x.append(nxp)
+                out_y.append(nyp)
+                xp[:a] = nxp
+                yp[:a] = nyp
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(out_id),
+                "b": np.concatenate(out_b),
+                "x": np.concatenate(out_x),
+                "y": np.concatenate(out_y),
+            })
 
     return _tok(spark, sf_dir).filter(F.col("n_tok") > B).select(
         "doc_id", "tokens"

@@ -34,6 +34,26 @@ from .. import __version__
 from ..operators.rollup import finest_rollup, with_derived_stats
 
 
+def iceberg_available(spark: SparkSession, catalog: str = "mp_iceberg") -> bool:
+    """True when an Iceberg catalog is configured on this session AND its
+    implementation class actually loads (the runtime ships the Iceberg
+    Spark runtime jar). On runtimes without the jar this is simply False
+    and the parquet+manifest backend below is used — same commit contract,
+    tested identically (tests/test_resume.py runs the Iceberg variants
+    skip-if-missing)."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:
+        return False
+    if not impl:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(impl)
+        return True
+    except Exception:
+        return False
+
+
 def read_manifest(base_dir: str | Path, stage: str, part: int) -> dict | None:
     p = Path(base_dir) / "manifests" / f"{stage}_{part}.json"
     if not p.exists():
@@ -53,11 +73,29 @@ class RollupJob:
     commit metadata, at sandbox scale."""
 
     def __init__(self, spark: SparkSession, base_dir: str | Path, n_groups: int = 8,
-                 bucket_size: int = 60):
+                 bucket_size: int = 60, iceberg_table: str | None = None):
+        """``iceberg_table`` (e.g. ``mp_iceberg.db.rollup_1m``) switches
+        the per-group data commits from path-parquet to atomic Iceberg
+        partition overwrites on that table; the catalog named in the
+        table's first part must be configured and its jar present
+        (iceberg_available). Manifests — our lineage/metrics surface —
+        stay JSON either way; with Iceberg each manifest also records the
+        table snapshot_id of its commit."""
         self.spark = spark
         self.base = Path(base_dir)
         self.n_groups = n_groups
         self.bucket_size = bucket_size
+        self.iceberg_table = iceberg_table
+        if iceberg_table is not None:
+            catalog = iceberg_table.split(".", 1)[0]
+            if not iceberg_available(spark, catalog):
+                raise RuntimeError(
+                    f"iceberg_table={iceberg_table!r} requested but catalog "
+                    f"{catalog!r} is not configured on this session (set "
+                    f"spark.sql.catalog.{catalog} and ship the Iceberg "
+                    "Spark runtime jar), falling back is not silent by "
+                    "design — drop the argument to use parquet+manifests"
+                )
         (self.base / "manifests").mkdir(parents=True, exist_ok=True)
 
     def group_col(self):
@@ -134,9 +172,13 @@ class RollupJob:
             t0 = time.time()
             part_tokens = staged.filter(F.col("grp") == k)  # pruned read
             out = with_derived_stats(finest_rollup(part_tokens, self.bucket_size))
-            out_path = str(self.base / f"stage={stage}" / f"part={k}")
-            out.write.mode("overwrite").parquet(out_path)
-            committed = self.spark.read.parquet(out_path)
+            snapshot_id = None
+            if self.iceberg_table:
+                committed, snapshot_id = self._commit_iceberg(out, k)
+            else:
+                out_path = str(self.base / f"stage={stage}" / f"part={k}")
+                out.write.mode("overwrite").parquet(out_path)
+                committed = self.spark.read.parquet(out_path)
             agg = committed.agg(
                 F.count("*").alias("rows"),
                 F.countDistinct("doc_id").alias("n_docs"),
@@ -155,6 +197,8 @@ class RollupJob:
                 "input_fingerprint": getattr(self, "_last_fp", None),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
+            if snapshot_id is not None:
+                manifest["iceberg_snapshot_id"] = snapshot_id
             # manifest write is the commit point: write-then-rename = atomic
             tmp = self.base / "manifests" / f".{stage}_{k}.json.tmp"
             tmp.write_text(json.dumps(manifest))
@@ -165,8 +209,35 @@ class RollupJob:
             (self.base / f"_stage_{stage}_COMMITTED").touch()
         return processed
 
+    def _commit_iceberg(self, out: DataFrame, k: int):
+        """Atomic per-group commit: REPLACE the grp=k partition of the
+        Iceberg table (an all-or-nothing snapshot commit — a killed write
+        leaves the previous snapshot intact, which is exactly the torn-
+        write guarantee the parquet path gets from write-then-rename).
+        Returns (committed rows DF, snapshot_id)."""
+        data = out.withColumn("part", F.lit(k))
+        w = data.writeTo(self.iceberg_table)
+        try:
+            exists = self.spark.catalog.tableExists(self.iceberg_table)
+        except Exception:
+            exists = False
+        if not exists:
+            w.partitionedBy(F.col("part")).create()
+        else:
+            w.overwritePartitions()
+        committed = (
+            self.spark.table(self.iceberg_table).filter(F.col("part") == k).drop("part")
+        )
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.iceberg_table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return committed, (int(snap[0][0]) if snap else None)
+
     def result(self, stage: str = "rollup_1m") -> DataFrame:
         # drop the hive-style `part` layout column — physical detail only
+        if self.iceberg_table:
+            return self.spark.table(self.iceberg_table).drop("part")
         return self.spark.read.parquet(str(self.base / f"stage={stage}")).drop("part")
 
     def metrics(self, stage: str = "rollup_1m") -> dict:
