@@ -104,21 +104,23 @@ def main() -> None:
     keeper: dict = {}
 
     def stage_rollup():
-        # full cascade 1m -> 1h -> 1d; first run's persisted tiers are
-        # kept as the gap-fill input (production shape: tier tables are
-        # written once and read by the next cascade step), later runs
-        # unpersist their own intermediates
+        # full cascade 1m -> 1h -> 1d. Honest re-measurement: Spark's
+        # cache manager matches by canonicalized plan, so a later run's
+        # IDENTICAL tier_rollup plan would silently serve the previous
+        # run's persisted tiers (a ~1s "recompute"). Evict the old
+        # handles BEFORE counting, then keep the fresh ones as the
+        # gap-fill input (production shape: tier tables written once,
+        # read by the next cascade step).
         handles: list = []
         rolled = with_derived_stats(
             tier_rollup(tokens, num_partitions=parts, persist=True,
                         persisted_out=handles)
         )
+        for h in keeper.pop("handles", []):
+            h.unpersist(True)
         counts["rollup_points"] = rolled.count()
-        if "rolled" not in keeper:
-            keeper["rolled"] = rolled
-        else:
-            for h in handles:
-                h.unpersist()
+        keeper["rolled"] = rolled
+        keeper["handles"] = handles
 
     def stage_gapfill():
         m1 = keeper["rolled"].filter(F.col("tier") == "1m")
@@ -171,14 +173,23 @@ def main() -> None:
     # size, so scope the tuning to the stages above (VERDICT r2 #3)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     reg = qreg()
-    for name in (
+    suite = (
         "rollup_1m", "sliding_stats_w8", "matrix_profile_w8", "mass_w8",
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_topk",
         "embedding_near_dups", "text_stats", "fingerprint",
-    ):
-        t0 = time.time()
-        reg[name](spark, SF_DIR).count()
-        times[name] = time.time() - t0
+    )
+    # min-of-2, second pass in reverse order: one quota-throttling episode
+    # (they last tens of seconds here) can no longer inflate a whole
+    # contiguous block of suite queries
+    suite_runs: dict[str, list[float]] = {n: [] for n in suite}
+    for qs in (suite, tuple(reversed(suite))):
+        for name in qs:
+            t0 = time.time()
+            reg[name](spark, SF_DIR).count()
+            suite_runs[name].append(round(time.time() - t0, 3))
+    for name in suite:
+        times[name] = min(suite_runs[name])
+    extra["suite_runs"] = suite_runs
 
     # ---- matrix profile over 100% of docs (no silent exclusion) ----
     # routing: docs within the blob operator's cap run as one-task-per-doc
