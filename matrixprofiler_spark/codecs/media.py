@@ -8,6 +8,9 @@ Formats supported:
   any channel count; chunk walker skips unknown chunks (LIST, fact, ...).
 * BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (40-byte DIB), 24-bit
   uncompressed, bottom-up or top-down rows, 4-byte row padding.
+* PNG: 8-bit non-interlaced, color types 0/2/3/4/6, all five row
+  filters, CRC-checked — DEFLATE comes from the stdlib ``zlib``, so the
+  decode is fully dependency-free (16-bit / Adam7 refuse loudly).
 
 Writers for both are provided so tests can round-trip deterministic
 fixtures byte-exactly.
@@ -112,3 +115,171 @@ def parse_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ------------------------------------------------------------------ PNG
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (8-bit only): 0 gray, 2 RGB, 3 palette,
+# 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def write_png(img: np.ndarray, filter_type: int | str = 0,
+              palette: np.ndarray | None = None) -> bytes:
+    """Minimal 8-bit non-interlaced PNG writer (tests' fixture source —
+    same role as write_wav/write_bmp). ``img``: uint8 (h, w) gray,
+    (h, w, 2) gray+alpha, (h, w, 3) RGB, (h, w, 4) RGBA; with
+    ``palette`` (uint8 (n, 3)), img must be (h, w) palette indices.
+    ``filter_type``: per-row filter byte 0..4, or "mixed" for row y
+    using filter y % 5 — all five filter paths get exercised."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if palette is not None:
+        color_type, ch = 3, 1
+        raw = img.reshape(h, w)
+    elif img.ndim == 2:
+        color_type, ch = 0, 1
+        raw = img
+    else:
+        ch = img.shape[2]
+        color_type = {2: 4, 3: 2, 4: 6}[ch]
+        raw = img
+    rows = raw.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+        cur = rows[y]
+        a = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]]) \
+            if stride > ch else np.zeros(stride, dtype=np.int32)
+        c = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]]) \
+            if stride > ch else np.zeros(stride, dtype=np.int32)
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = cur - a
+        elif ft == 2:
+            f = cur - prev
+        elif ft == 3:
+            f = cur - ((a + prev) >> 1)
+        elif ft == 4:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, prev, c))
+            f = cur - pred
+        else:
+            raise ValueError(f"filter {ft}")
+        out.append(ft)
+        out.extend((f & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _png_chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    body += _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+    body += _png_chunk(b"IEND", b"")
+    return body
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced PNG (color types 0/2/3/4/6, all five
+    row filters, CRC-checked). Returns uint8 (h, w) for gray, else
+    (h, w, channels); palette images resolve through PLTE to (h, w, 3).
+    16-bit and Adam7-interlaced images raise NotImplementedError (real
+    but rare variants; the decoder refuses rather than guessing)."""
+    import zlib
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("bad IHDR compression/filter method")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG (only 8-bit)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    data = zlib.decompress(bytes(idat))
+    if len(data) != h * (1 + stride):
+        raise ValueError("IDAT size mismatch")
+    # unfilter: None/Up vectorize per row; Sub/Average/Paeth carry a
+    # left-pixel dependency -> per-pixel loop (decode is plumbing, not
+    # the hot path; see operators/multimodal.py)
+    flat = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(flat[y * (1 + stride)])
+        row = flat[y * (1 + stride) + 1 : (y + 1) * (1 + stride)].astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        elif ft == 1:
+            cur = row
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif ft == 3:
+            cur = row
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            cur = row
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG row filter {ft}")
+        out[y] = cur
+        prev = cur
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        return plte[out.reshape(h, w)]
+    if ch == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, ch)

@@ -75,13 +75,15 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
                  fake: bool = False, mode: str = "philox") -> np.ndarray:
     """Decode an image payload.
 
-    REAL path: BMP (24-bit uncompressed) is parsed by the in-repo
-    dependency-free codec (codecs/media.py) — magic-byte detected, no
-    flag needed. Compressed formats (JPEG/PNG) would need libjpeg/PIL,
-    which this container lacks, so they remain a declared stub.
+    REAL paths: BMP (24-bit uncompressed) and PNG (8-bit gray/RGB/
+    palette/GA/RGBA, all five row filters, CRC-checked — DEFLATE via the
+    stdlib zlib) are parsed by the in-repo dependency-free codecs
+    (codecs/media.py) — magic-byte detected, no flag needed. JPEG would
+    need libjpeg/PIL, which this container lacks, so it remains a
+    declared stub.
 
     ``fake=True`` yields a deterministic uint8 array of the declared
-    shape for non-BMP payloads: mode='philox' seeds a counter RNG from
+    shape for other payloads: mode='philox' seeds a counter RNG from
     the payload digest; mode='tile' repeats the payload bytes row-major
     (the closed-form decoder any engine can replicate — the oracle
     face)."""
@@ -92,9 +94,15 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
         from ..codecs.media import parse_bmp
 
         return parse_bmp(payload)
+    from ..codecs.media import PNG_SIG
+
+    if payload[: len(PNG_SIG)] == PNG_SIG:  # 8-byte magic: unambiguous
+        from ..codecs.media import parse_png
+
+        return parse_png(payload)
     if not fake:
         raise NotImplementedError(
-            "only BMP decodes natively; JPEG/PNG codecs are not installed "
+            "only BMP/PNG decode natively; a JPEG codec is not installed "
             "in this environment — pass fake=True for the deterministic "
             "test decoder"
         )

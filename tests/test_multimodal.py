@@ -154,3 +154,78 @@ def test_features_on_real_media_payloads(spark):
     im = image_features(media, fake_decode=False).collect()
     assert len(im) == 1 and im[0].media_id == "real_img"
     assert 0 < im[0].mean_lum < 255 and im[0].std_lum > 0
+
+
+def test_png_roundtrips_all_types_and_filters():
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.media import parse_png, write_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 7), (5, 7, 2), (5, 7, 3), (5, 7, 4), (1, 1), (3, 1, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (0, 1, 2, 3, 4, "mixed"):
+            got = parse_png(write_png(img, filter_type=ft))
+            assert got.shape == img.shape and (got == img).all(), (shape, ft)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(4, 6), dtype=np.uint8)
+    got = parse_png(write_png(idx, filter_type="mixed", palette=pal))
+    assert (got == pal[idx]).all()
+
+
+def test_png_handcrafted_bytes_decode_exactly():
+    """Fixture built from raw chunk bytes (independent of write_png):
+    a 2x5 grayscale image exercising one row per filter type, with the
+    reconstruction computed by hand from the spec's recurrences."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.media import PNG_SIG, parse_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    scan = bytes(
+        [0, 10, 20,   # ft None  -> [10, 20]
+         1, 5, 7,     # ft Sub   -> [5, 5+7=12]
+         2, 1, 2,     # ft Up    -> [5+1=6, 12+2=14]
+         3, 4, 6,     # ft Avg   -> [4+(0+6)//2=7, 6+(7+14)//2=16]
+         4, 2, 3]     # ft Paeth -> [2+7=9, 3+16=19]
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 5, 8, 0, 0, 0, 0)
+    png = (PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    got = parse_png(png)
+    want = np.array([[10, 20], [5, 12], [6, 14], [7, 16], [9, 19]],
+                    dtype=np.uint8)
+    assert (got == want).all()
+
+    # CRC corruption must be detected, not decoded
+    bad = bytearray(png)
+    bad[len(PNG_SIG) + 8 + 3] ^= 0xFF  # flip a bit inside IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(bad))
+
+    # 16-bit and interlaced refuse loudly
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr2 = struct.pack(">IIBBBBB", 2, 5, depth, 0, 0, 0, interlace)
+        png2 = (PNG_SIG + chunk(b"IHDR", ihdr2)
+                + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            parse_png(png2)
+
+
+def test_decode_image_routes_png_by_magic():
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.media import write_png
+    from matrixprofiler_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    payload = write_png(img, filter_type="mixed")
+    got = decode_image(payload, 11, 9, 3)  # no fake flag: real path
+    assert (got == img).all()
