@@ -54,9 +54,10 @@ def build_spark(cpus: int):
         # (measured min-of-2 both run orders: 64 beats 256/1024 on the
         # window-stats stage)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
-        # FAIR lets the two overlapped MP sub-jobs interleave tasks (FIFO
-        # would starve the second job until the first has spare slots);
-        # all other bench stages are single-job, unaffected
+        # FAIR lets the two overlapped MP sub-jobs interleave tasks: each
+        # MP thread sets its own spark.scheduler.pool (FAIR balances
+        # between pools; jobs inside one pool are FIFO). All other bench
+        # stages are single-job, unaffected.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", "48g")
         .config("spark.local.dir", "/dev/shm/spark-local")
@@ -218,8 +219,12 @@ def main() -> None:
     mp_res: dict = {}
     mp_err: list = []
 
+    # each thread pins its job to its OWN scheduler pool: FAIR mode
+    # balances BETWEEN pools (the default pool alone schedules its jobs
+    # FIFO, which would only backfill the second job into leftover slots)
     def _run_blobs():
         try:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "mp_blobs")
             mp_docs = matrix_profile_blobs(
                 tokens.filter(F.col("n_tok") <= MP_CUT), w=128,
                 max_tokens=MP_CUT, num_partitions=parts,
@@ -230,6 +235,7 @@ def main() -> None:
 
     def _run_dist():
         try:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "mp_dist")
             mp_res["dist"] = matrix_profile_distributed(
                 tokens.filter(F.col("n_tok") > MP_CUT), w=128,
                 chunk_len=3072, num_partitions=parts,
@@ -250,14 +256,16 @@ def main() -> None:
     extra["mp_points"] = int(mp_points + mp_points_dist)
     extra["mp_points_distributed"] = int(mp_points_dist)
     # half-pair throughput (the MP work metric: n^2/2 window pairs per doc).
-    # Count only docs that actually compute a profile (n_tok >= 2w = 256:
-    # below that there are no non-excluded pairs), so the metric isn't
-    # inflated by the ~1/3 of docs that contribute zero quadratic work.
+    # Count only docs whose profile has at least one NON-EXCLUDED pair:
+    # at w=128, ez=0.5 the exclusion half-width is round(w*0.5)+1 = 65,
+    # so real pair work starts at profile_len > 65, i.e. n_tok >= 193
+    # (verified empirically against the mpx kernel). Shorter docs
+    # contribute zero quadratic work and must not inflate the metric.
     mp_pairs = (
         tokens.select(
             F.sum(
                 F.when(
-                    F.col("n_tok") >= 256,
+                    F.col("n_tok") >= 193,
                     (F.col("n_tok").cast("double") - 127) ** 2 / 2,
                 ).otherwise(F.lit(0.0))
             ).alias("p")

@@ -41,6 +41,23 @@ def _seconds(col, dtype) -> "F.Column":
     return col.cast("double")
 
 
+def _project_output(carried: DataFrame, left: DataFrame, right: DataFrame,
+                    ts: str, payload_cols: list[str], tolerance) -> DataFrame:
+    """Shared output contract of both plans: left columns + matched
+    payload + asof_ts, with the optional tolerance age gate."""
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    matched = F.col("__match")
+    if tolerance is not None:
+        tt = right.schema[ts].dataType
+        age = _seconds(F.col("__ts"), tt) - _seconds(matched["__rts"], tt)
+        matched = F.when(age <= tolerance, matched)
+    return carried.select(
+        *out_cols,
+        *[matched[c].alias(c) for c in payload_cols],
+        matched["__rts"].alias("asof_ts"),
+    )
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
               payload_cols: list[str], tolerance=None,
               split_width: float | None = None) -> DataFrame:
@@ -82,17 +99,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
-    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
-    matched = F.col("__match")
-    if tolerance is not None:
-        tt = right.schema[ts].dataType
-        age = _seconds(F.col("__ts"), tt) - _seconds(matched["__rts"], tt)
-        matched = F.when(age <= tolerance, matched)
-    return carried.select(
-        *out_cols,
-        *[matched[c].alias(c) for c in payload_cols],
-        matched["__rts"].alias("asof_ts"),
-    )
+    return _project_output(carried, left, right, ts, payload_cols, tolerance)
 
 
 def _asof_join_salted(left: DataFrame, right: DataFrame, key: str, ts: str,
@@ -161,14 +168,4 @@ def _asof_join_salted(left: DataFrame, right: DataFrame, key: str, ts: str,
         .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
-    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
-    matched = F.col("__match")
-    if tolerance is not None:
-        tt = right.schema[ts].dataType
-        age = _seconds(F.col("__ts"), tt) - _seconds(matched["__rts"], tt)
-        matched = F.when(age <= tolerance, matched)
-    return carried.select(
-        *out_cols,
-        *[matched[c].alias(c) for c in payload_cols],
-        matched["__rts"].alias("asof_ts"),
-    )
+    return _project_output(carried, left, right, ts, payload_cols, tolerance)

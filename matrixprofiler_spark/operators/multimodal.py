@@ -99,7 +99,17 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
     if payload[: len(PNG_SIG)] == PNG_SIG:  # 8-byte magic: unambiguous
         from ..codecs.media import parse_png
 
-        return parse_png(payload)
+        img = parse_png(payload)
+        # normalize to the (h, w, 3) RGB contract every other decode
+        # path returns (the feature kernels reduce over axis 2): gray ->
+        # replicate to 3 channels, gray+alpha/RGBA -> drop alpha
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        if img.shape[2] == 2:
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        if img.shape[2] == 4:
+            return np.ascontiguousarray(img[:, :, :3])
+        return img
     if not fake:
         raise NotImplementedError(
             "only BMP/PNG decode natively; a JPEG codec is not installed "

@@ -2289,7 +2289,41 @@ def q_stream_rollup(spark, sf_dir, sink_dir: str | None = None):
     base = sink_dir or tempfile.mkdtemp(prefix="stream_rollup_")
     try:
         inp = f"{base}/input"
-        _tok(spark, sf_dir).write.mode("overwrite").parquet(inp)
+        toks = _tok(spark, sf_dir)
+        stage = True
+        if sink_dir is not None:
+            # durable mode must be re-invocation-safe: rewriting the
+            # input mints new part-file names, which the file-source
+            # checkpoint would ingest as NEW data and the append sink
+            # would duplicate every row. Bind the base dir to the input
+            # (same fingerprint recipe as RollupJob): matching input ->
+            # skip the rewrite (the stream no-ops and the sink stands);
+            # different input -> fail loudly; torn state -> fail loudly.
+            import json as _json
+            from pathlib import Path as _P
+
+            fp_path = _P(base) / "input_fingerprint.json"
+            r0 = toks.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(doc_id, tokens))").alias("h"),
+            ).collect()[0]
+            fp = {"n": int(r0["n"]), "h": int(r0["h"] or 0)}
+            if fp_path.exists():
+                if _json.loads(fp_path.read_text()) != fp:
+                    raise ValueError(
+                        f"sink_dir {base} holds a stream for a different "
+                        "input; use a fresh dir"
+                    )
+                stage = False
+            elif _P(f"{base}/ckpt").exists():
+                raise ValueError(
+                    f"sink_dir {base} has a checkpoint but no input "
+                    "fingerprint (torn earlier run); use a fresh dir"
+                )
+        if stage:
+            toks.write.mode("overwrite").parquet(inp)
+            if sink_dir is not None:
+                fp_path.write_text(_json.dumps(fp))
         q = stream_tokens_rollup(
             spark, inp, f"{base}/sink", f"{base}/ckpt", bucket_size=BUCKET
         )
@@ -2335,15 +2369,23 @@ def q_checkpoint_rollup_resume(spark, sf_dir, sink_dir: str | None = None):
     try:
         toks = _tok(spark, sf_dir)
         job = RollupJob(spark, base, n_groups=4, bucket_size=BUCKET)
-        try:
-            job.run(toks, fail_after=2)
-            raise AssertionError("injected failure did not fire")
-        except RuntimeError:
-            pass
-        resumed = RollupJob(spark, base, n_groups=4, bucket_size=BUCKET)
-        if len(resumed.completed_groups()) != 2:
-            raise AssertionError("expected exactly 2 committed groups")
-        resumed.run(toks)
+        already = len(job.completed_groups())
+        if already == 0:
+            try:
+                job.run(toks, fail_after=2)
+                raise AssertionError("injected failure did not fire")
+            except RuntimeError:
+                pass
+            resumed = RollupJob(spark, base, n_groups=4, bucket_size=BUCKET)
+            if len(resumed.completed_groups()) != 2:
+                raise AssertionError("expected exactly 2 committed groups")
+            resumed.run(toks)
+        else:
+            # durable re-invocation: the kill-and-resume already happened
+            # against this base dir — just resume (idempotent no-op when
+            # complete; the staged-input fingerprint still rejects a
+            # different input)
+            job.run(toks)
         out = spark.read.parquet(f"{base}/stage=rollup_1m").select(
             "doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v"
         )

@@ -221,6 +221,21 @@ class RollupJob:
             exists = self.spark.catalog.tableExists(self.iceberg_table)
         except Exception:
             exists = False
+        if exists and not getattr(self, "_iceberg_shape_checked", False):
+            # a table written by a job with a different n_groups would
+            # keep its extra partitions past this job's overwrites and
+            # result() would serve duplicated docs — bind the table to
+            # one grouping, fail loudly otherwise
+            stale = self.spark.sql(
+                f"SELECT max(part) AS m FROM {self.iceberg_table}"
+            ).collect()[0]["m"]
+            if stale is not None and stale >= self.n_groups:
+                raise ValueError(
+                    f"iceberg table {self.iceberg_table} holds partitions "
+                    f"up to part={stale} from a job with more groups than "
+                    f"n_groups={self.n_groups}; use a fresh table"
+                )
+        self._iceberg_shape_checked = True
         if not exists:
             w.partitionedBy(F.col("part")).create()
         else:
@@ -228,9 +243,13 @@ class RollupJob:
         committed = (
             self.spark.table(self.iceberg_table).filter(F.col("part") == k).drop("part")
         )
+        # the main-branch head right after our commit (single-writer
+        # assumption, same as the manifest dir itself — a concurrent
+        # writer on the same table would need the Java commit API to
+        # capture its own snapshot atomically)
         snap = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.iceberg_table}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self.iceberg_table}.refs "
+            "WHERE name = 'main'"
         ).collect()
         return committed, (int(snap[0][0]) if snap else None)
 

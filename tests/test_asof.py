@@ -103,6 +103,7 @@ def test_asof_salted_hot_key_parallelism(spark):
     # (AQE would coalesce this test-sized shuffle into one partition, so
     # pin it off for the task-count probe — at real scale the partitions
     # are far above the coalesce target and stay separate)
+    saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         n_parts = (
@@ -112,7 +113,7 @@ def test_asof_salted_hot_key_parallelism(spark):
             .select("pid").distinct().count()
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
     assert n_parts > 1
 
 

@@ -229,3 +229,15 @@ def test_decode_image_routes_png_by_magic():
     payload = write_png(img, filter_type="mixed")
     got = decode_image(payload, 11, 9, 3)  # no fake flag: real path
     assert (got == img).all()
+
+    # decode_image's contract is (h, w, 3) RGB for every path the
+    # feature kernels consume: gray replicates, GA/RGBA drop alpha
+    gray = rng.integers(0, 256, size=(5, 4), dtype=np.uint8)
+    g3 = decode_image(write_png(gray), 4, 5, 3)
+    assert g3.shape == (5, 4, 3) and (g3 == gray[:, :, None]).all()
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    r3 = decode_image(write_png(rgba), 4, 5, 3)
+    assert r3.shape == (5, 4, 3) and (r3 == rgba[:, :, :3]).all()
+    ga = rng.integers(0, 256, size=(5, 4, 2), dtype=np.uint8)
+    a3 = decode_image(write_png(ga), 4, 5, 3)
+    assert a3.shape == (5, 4, 3) and (a3 == ga[:, :, :1]).all()

@@ -246,3 +246,32 @@ def test_checkpoint_resume_persistent_sink(spark, tmp_path):
     assert os.path.isdir(f"{base}/manifests")
     manifests = os.listdir(f"{base}/manifests")
     assert len([m for m in manifests if m.startswith("rollup_1m")]) == 4
+
+
+def test_stream_rollup_sink_reinvocation_is_idempotent(spark, tmp_path):
+    """Durable mode called twice against the same dir must NOT duplicate
+    sink rows (a rewrite of the input would mint new part files that the
+    checkpoint ingests as fresh data), and a different input against the
+    same dir must fail loudly."""
+    from matrixprofiler_spark.queries import q_stream_rollup
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "durable")
+    first = sorted(map(tuple, q_stream_rollup(spark, sf, sink_dir=base).collect()))
+    second = sorted(map(tuple, q_stream_rollup(spark, sf, sink_dir=base).collect()))
+    assert second == first  # same rows, not 2x
+    with pytest.raises(ValueError, match="different input"):
+        q_stream_rollup(spark, "/root/testdata/sf0.01", sink_dir=base)
+
+
+def test_checkpoint_resume_sink_reinvocation(spark, tmp_path):
+    """Durable kill-and-resume face called twice: the second call resumes
+    idempotently (no injected-failure dance against committed work) and
+    returns the same committed rows."""
+    from matrixprofiler_spark.queries import q_checkpoint_rollup_resume
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "ckpt_base")
+    first = sorted(map(tuple, q_checkpoint_rollup_resume(spark, sf, sink_dir=base).collect()))
+    second = sorted(map(tuple, q_checkpoint_rollup_resume(spark, sf, sink_dir=base).collect()))
+    assert second == first
