@@ -125,3 +125,42 @@ def test_asof_plan_no_cartesian(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     # exactly the union -> window shape: one exchange on the key
     assert plan.count("Exchange") <= 2
+
+
+def test_asof_salted_random_equivalence(spark):
+    """Randomized sweep: salted == unsalted on adversarial shapes —
+    duplicate left timestamps, right rows exactly on range borders, keys
+    with left-only / right-only rows, widths from sub-unit to
+    whole-span."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n_keys = rng.randint(1, 5)
+        lrows, rrows = [], []
+        for k in range(n_keys):
+            for _ in range(rng.randint(0, 40)):
+                lrows.append((k, rng.randint(0, 500), f"L{len(lrows)}"))
+            seen = set()
+            for _ in range(rng.randint(0, 25)):
+                t = rng.randint(0, 500)
+                if t not in seen:  # right unique per (key, ts)
+                    seen.add(t)
+                    rrows.append((k, t, rng.randint(0, 10**6)))
+        if not lrows:
+            lrows.append((0, 1, "L0"))
+        left = spark.createDataFrame(lrows, "k long, t long, tag string")
+        right = spark.createDataFrame(
+            rrows or [(99, 0, 0)], "k long, t long, v long"
+        )
+        base = sorted(
+            (r.k, r.t, r.tag, r.v, r.asof_ts)
+            for r in asof_join(left, right, "k", "t", ["v"]).collect()
+        )
+        for width in (1, 7, 100, 1000):
+            got = sorted(
+                (r.k, r.t, r.tag, r.v, r.asof_ts)
+                for r in asof_join(left, right, "k", "t", ["v"],
+                                   split_width=width).collect()
+            )
+            assert got == base, f"trial {trial} width {width}"

@@ -91,3 +91,46 @@ def test_gap_fill_edge(spark, edge_tokens):
     const_rows = filled.filter(F.col("doc_id") == "const").collect()
     assert len(const_rows) == 400 // 60 + 1
     assert sum(r.filled for r in const_rows) == len(const_rows) - 1
+
+
+def test_lttb_lockstep_matches_per_doc_reference(spark):
+    """The lockstep (across-docs) LTTB kernel must equal a straightforward
+    per-doc replay of the recurrence on the real driver table — every
+    selected (bucket, x, y), bit-for-bit, ties to the smaller offset."""
+    import numpy as np
+
+    from matrixprofiler_spark.queries import LTTB_B as B
+    from matrixprofiler_spark.queries import _tok, q_downsample_lttb
+
+    sf = "/root/testdata/sf0.001"
+    toks = {
+        r.doc_id: np.asarray(r.tokens, dtype=np.int64)
+        for r in _tok(spark, sf).select("doc_id", "tokens").collect()
+    }
+    want = []
+    for doc_id, y in toks.items():
+        n = y.size
+        if n <= B:
+            continue
+        x = np.arange(n, dtype=np.int64)
+        b = x // B
+        maxb = int(b[-1])
+        sx = np.bincount(b, weights=x).astype(np.int64)
+        sy = np.bincount(b, weights=y).astype(np.int64)
+        c = np.bincount(b).astype(np.int64)
+        want.append((doc_id, 0, 0, int(y[0])))
+        xp, yp = 0, int(y[0])
+        for bb in range(1, maxb):
+            lo, hi = bb * B, (bb + 1) * B
+            xs, ys = x[lo:hi], y[lo:hi]
+            c1, sxn, syn = int(c[bb + 1]), int(sx[bb + 1]), int(sy[bb + 1])
+            score = np.abs((xp * c1 - sxn) * (ys - yp)
+                           - (xp - xs) * (syn - yp * c1))
+            k = int(np.argmax(score))
+            xp, yp = int(xs[k]), int(ys[k])
+            want.append((doc_id, bb, xp, yp))
+        want.append((doc_id, maxb, n - 1, int(y[n - 1])))
+    got = sorted(
+        (r.doc_id, r.b, r.x, r.y) for r in q_downsample_lttb(spark, sf).collect()
+    )
+    assert got == sorted(want)
