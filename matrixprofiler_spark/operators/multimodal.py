@@ -131,24 +131,34 @@ def decode_audio(payload: bytes, n_samples: int, fake: bool = False,
                  mode: str = "philox") -> np.ndarray:
     """Decode an audio payload to a float32 mono waveform in [-1, 1).
 
-    REAL path: WAV (RIFF PCM 8/16-bit) is parsed by the in-repo
-    dependency-free codec (codecs/media.py) — magic-byte detected;
-    multi-channel mixes down by mean. Compressed formats (MP3/FLAC/OGG)
-    would need external codecs, so they remain a declared stub.
+    REAL paths: WAV (RIFF PCM 8/16-bit) and FLAC (fixed-predictor
+    subset: CONSTANT/VERBATIM/FIXED subframes, Rice residuals incl.
+    escapes, all stereo decorrelation modes, CRC-verified — see
+    codecs/flac.py) are parsed by in-repo dependency-free codecs,
+    magic-byte detected; multi-channel mixes down by mean. MP3/OGG (and
+    LPC-subframe FLAC) would need external codecs, so they remain a
+    declared stub.
 
-    ``fake=True`` for non-WAV payloads: mode='tile' maps tiled payload
+    ``fake=True`` for other payloads: mode='tile' maps tiled payload
     bytes to (b - 128) / 128 — closed-form for the oracle face."""
+    x = None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..codecs.media import parse_wav
 
         x, _sr = parse_wav(payload)
+    elif payload[:4] == b"fLaC":
+        from ..codecs.flac import parse_flac
+
+        x, _sr = parse_flac(payload)
+    if x is not None:
         return x.mean(axis=1, dtype=np.float64).astype(np.float32) \
             if x.shape[1] > 1 else x[:, 0]
     if not fake:
         raise NotImplementedError(
-            "only WAV-PCM decodes natively; compressed audio codecs are "
-            "not installed in this environment — pass fake=True for the "
-            "deterministic test decoder"
+            "only WAV-PCM and FLAC (fixed-predictor subset) decode "
+            "natively; other audio codecs are not installed in this "
+            "environment — pass fake=True for the deterministic test "
+            "decoder"
         )
     if mode == "tile":
         b = np.frombuffer(payload, dtype=np.uint8)

@@ -241,3 +241,144 @@ def test_decode_image_routes_png_by_magic():
     ga = rng.integers(0, 256, size=(5, 4, 2), dtype=np.uint8)
     a3 = decode_image(write_png(ga), 4, 5, 3)
     assert a3.shape == (5, 4, 3) and (a3 == ga[:, :, :1]).all()
+
+
+def test_flac_roundtrips():
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.flac import parse_flac, write_flac
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (np.sin(2 * np.pi * 440 * np.arange(10000) / 16000) * 12000,
+         16000, 4096),
+        (rng.integers(-32768, 32767, 5000), 44100, 4096),
+        (np.full(3000, 123), 8000, 1024),
+        (np.array([1, -2, 3]), 8000, 4096),
+    ]
+    for sig, sr, bs in cases:
+        s = np.asarray(sig).astype(np.int16)
+        x, got_sr = parse_flac(write_flac(s, sr, block_size=bs))
+        assert got_sr == sr and x.shape == (s.size, 1)
+        assert (np.round(x[:, 0] * 32768).astype(np.int64) == s).all()
+
+
+def test_flac_stereo_decorrelation_modes_exact():
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.flac import parse_flac, write_flac
+
+    rng = np.random.default_rng(6)
+    t = np.arange(6000)
+    left = (np.sin(2 * np.pi * 330 * t / 8000) * 11000).astype(np.int16)
+    right = (left * 0.9 + rng.integers(-300, 300, 6000)).astype(np.int16)
+    st = np.stack([left, right], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        x, sr = parse_flac(
+            write_flac(st, 8000, block_size=1024, stereo_mode=mode)
+        )
+        assert sr == 8000 and x.shape == (6000, 2), mode
+        assert (np.round(x * 32768).astype(np.int64) == st).all(), mode
+
+
+def test_flac_handcrafted_decoder_only_paths():
+    """Bitstreams the encoder never emits, built by hand with the bit
+    writer: VERBATIM subframe, escape (raw) Rice partition, partition
+    order > 0, wasted bits — plus CRC corruption and the LPC refusal."""
+    import struct
+
+    import numpy as np
+
+    from matrixprofiler_spark.codecs import flac as fl
+
+    def stream_for(frame_body: bytes, n: int, ch: int = 1) -> bytes:
+        info = struct.pack(">HH", 16, 16) + b"\x00" * 6
+        group = (8000 << 44) | ((ch - 1) << 41) | (15 << 36) | n
+        info += struct.pack(">Q", group) + b"\x00" * 16
+        return (fl.FLAC_MAGIC + bytes([0x80])
+                + struct.pack(">I", len(info))[1:] + info + frame_body)
+
+    def frame(head_tail_writer) -> bytes:
+        head = bytearray([0xFF, 0xF8, (0b0111 << 4), (0 << 4) | (0b100 << 1)])
+        head += fl._utf8_number(0) + struct.pack(">H", 16 - 1)
+        head += bytes([fl._crc8(bytes(head))])
+        w = fl._BitWriter()
+        w.bytes = bytearray(head)
+        head_tail_writer(w)
+        w.align()
+        return bytes(w.bytes) + struct.pack(">H", fl._crc16(bytes(w.bytes)))
+
+    vals = np.array([5, -3, 7, 0, 2, -8, 1, 4, -1, 6, -2, 3, 0, -5, 8, -7],
+                    dtype=np.int64)
+
+    # VERBATIM subframe
+    def verbatim(w):
+        w.write(0b0000001, 7)  # pad + type 000001 (VERBATIM)
+        w.write(0, 1)          # no wasted bits
+        for v in vals:
+            w.write(int(v), 16)
+
+    x, _ = fl.parse_flac(stream_for(frame(verbatim), 16))
+    assert (np.round(x[:, 0] * 32768).astype(np.int64) == vals).all()
+
+    # FIXED order 0, partition order 2 (4 partitions), one escape partition
+    def partitions(w):
+        w.write(0b0001000, 7)  # FIXED order 0
+        w.write(0, 1)
+        w.write(0, 2)          # method 0
+        w.write(2, 4)          # partition order 2 -> 4 partitions of 4
+        zz = fl._zigzag(vals)
+        for p in range(4):
+            part = zz[p * 4 : (p + 1) * 4]
+            if p == 1:         # escape: raw 6-bit signed residuals
+                w.write(0xF, 4)
+                w.write(6, 5)
+                for v in vals[4:8]:
+                    w.write(int(v), 6)
+            else:
+                w.write(2, 4)  # rice param 2
+                for v in part:
+                    w.write_unary(int(v) >> 2)
+                    w.write(int(v) & 3, 2)
+
+    x, _ = fl.parse_flac(stream_for(frame(partitions), 16))
+    assert (np.round(x[:, 0] * 32768).astype(np.int64) == vals).all()
+
+    # wasted bits: samples all share a factor of 4 -> 2 wasted bits
+    shifted = vals * 4
+
+    def wasted(w):
+        w.write(0b0000001, 7)  # VERBATIM
+        w.write(1, 1)          # wasted-bits flag
+        w.write_unary(1)       # unary 1 -> wasted = 2
+        for v in vals:
+            w.write(int(v), 14)  # 16 - 2 wasted
+
+    x, _ = fl.parse_flac(stream_for(frame(wasted), 16))
+    assert (np.round(x[:, 0] * 32768).astype(np.int64) == shifted).all()
+
+    # LPC subframe refuses with the subset error
+    def lpc(w):
+        w.write(0b0100000, 7)  # LPC order 1
+        w.write(0, 1)
+        w.write(0, 16)
+
+    with pytest.raises(NotImplementedError, match="LPC"):
+        fl.parse_flac(stream_for(frame(lpc), 16))
+
+    # CRC-16 corruption is detected
+    good = frame(verbatim)
+    bad = good[:-1] + bytes([good[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC-16"):
+        fl.parse_flac(stream_for(bad, 16))
+
+
+def test_decode_audio_routes_flac_by_magic():
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.flac import write_flac
+    from matrixprofiler_spark.operators.multimodal import decode_audio
+
+    s = (np.sin(2 * np.pi * 100 * np.arange(4000) / 8000) * 9000).astype(np.int16)
+    x = decode_audio(bytes(write_flac(s, 8000)), 4000)  # no fake flag
+    assert (np.round(x * 32768).astype(np.int64) == s).all()
