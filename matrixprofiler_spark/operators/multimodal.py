@@ -75,12 +75,12 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
                  fake: bool = False, mode: str = "philox") -> np.ndarray:
     """Decode an image payload.
 
-    REAL paths: BMP (24-bit uncompressed) and PNG (8-bit gray/RGB/
-    palette/GA/RGBA, all five row filters, CRC-checked — DEFLATE via the
-    stdlib zlib) are parsed by the in-repo dependency-free codecs
-    (codecs/media.py) — magic-byte detected, no flag needed. JPEG would
-    need libjpeg/PIL, which this container lacks, so it remains a
-    declared stub.
+    REAL paths: BMP (24-bit uncompressed), PNG (8-bit gray/RGB/palette/
+    GA/RGBA, all five row filters, CRC-checked — DEFLATE via the stdlib
+    zlib) and baseline JPEG (SOF0/SOF1, any chroma sampling, restart
+    intervals — pure-Python Huffman + matrix IDCT, codecs/jpeg.py) are
+    parsed by in-repo dependency-free codecs, magic-byte detected, no
+    flag needed. Progressive/arithmetic JPEG refuse loudly.
 
     ``fake=True`` yields a deterministic uint8 array of the declared
     shape for other payloads: mode='philox' seeds a counter RNG from
@@ -96,10 +96,16 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
         return parse_bmp(payload)
     from ..codecs.media import PNG_SIG
 
+    img = None
     if payload[: len(PNG_SIG)] == PNG_SIG:  # 8-byte magic: unambiguous
         from ..codecs.media import parse_png
 
         img = parse_png(payload)
+    elif payload[:3] == b"\xFF\xD8\xFF":  # JPEG SOI + first marker
+        from ..codecs.jpeg import parse_jpeg
+
+        img = parse_jpeg(payload)
+    if img is not None:
         # normalize to the (h, w, 3) RGB contract every other decode
         # path returns (the feature kernels reduce over axis 2): gray ->
         # replicate to 3 channels, gray+alpha/RGBA -> drop alpha
@@ -112,9 +118,9 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
         return img
     if not fake:
         raise NotImplementedError(
-            "only BMP/PNG decode natively; a JPEG codec is not installed "
-            "in this environment — pass fake=True for the deterministic "
-            "test decoder"
+            "BMP/PNG/baseline-JPEG decode natively; other image formats "
+            "are not supported in this environment — pass fake=True for "
+            "the deterministic test decoder"
         )
     n = height * width * channels
     if mode == "tile":

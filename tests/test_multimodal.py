@@ -382,3 +382,100 @@ def test_decode_audio_routes_flac_by_magic():
     s = (np.sin(2 * np.pi * 100 * np.arange(4000) / 8000) * 9000).astype(np.int16)
     x = decode_audio(bytes(write_flac(s, 8000)), 4000)  # no fake flag
     assert (np.round(x * 32768).astype(np.int64) == s).all()
+
+
+def test_jpeg_roundtrips_within_quantization_error():
+    """JPEG is lossy by design: round-trips assert a tight error bound at
+    high quality instead of bit equality — gray, RGB 4:4:4, RGB 4:2:0
+    (chroma-smooth input), restart intervals, odd dimensions."""
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.jpeg import parse_jpeg, write_jpeg
+
+    x, yy = np.meshgrid(np.arange(64), np.arange(48))
+    gray = (128 + 80 * np.sin(x / 9) * np.cos(yy / 7)).astype(np.uint8)
+    rgb = np.stack([
+        (128 + 60 * np.sin(x / 16)).astype(np.uint8),
+        (128 + 60 * np.cos(yy / 14)).astype(np.uint8),
+        (128 + 50 * np.sin((x + yy) / 20)).astype(np.uint8),
+    ], axis=2)
+    cases = [
+        (gray, {}, 3),
+        (gray[:13, :19], {}, 3),                       # non-multiple-of-8
+        (gray, {"restart_interval": 3}, 3),
+        (rgb, {}, 8),
+        (rgb, {"subsample": True}, 10),                # 4:2:0
+        (rgb[:45, :61], {"subsample": True}, 10),      # 4:2:0 + odd dims
+        (rgb, {"subsample": True, "restart_interval": 1}, 10),
+    ]
+    for img, kw, bound in cases:
+        got = parse_jpeg(write_jpeg(img, quality=95, **kw))
+        assert got.shape == img.shape, kw
+        err = np.abs(got.astype(int) - img.astype(int)).max()
+        assert err <= bound, (kw, err)
+
+
+def test_jpeg_handcrafted_dc_only_block():
+    """Byte-by-byte fixture independent of write_jpeg: one 8x8 grayscale
+    block, flat quant table (16), minimal custom Huffman tables, DC-only
+    scan. DC category 2, magnitude bits 11 -> DC = 3; dequantized 48;
+    the DC-only IDCT is uniform 48/8 = 6, +128 level shift = 134."""
+    import struct
+
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.jpeg import parse_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table: single length-1 code '0' -> symbol 2 (category 2)
+    dht_dc = seg(0xC4, bytes([0x00, 1] + [0] * 15 + [2]))
+    # AC table: single length-1 code '0' -> symbol 0x00 (EOB)
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # scan bits: DC code '0', magnitude '11' (=3), AC EOB '0' -> 0110 + 1111 pad
+    scan = bytes([0b01101111])
+    jpg = b"\xFF\xD8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xFF\xD9"
+    got = parse_jpeg(jpg)
+    assert got.shape == (8, 8)
+    assert (got == 134).all()
+
+    # same stream with a 16-bit (Pq=1) quant table decodes identically
+    dqt16 = seg(0xDB, bytes([0x10]) + struct.pack(">64H", *([16] * 64)))
+    jpg16 = b"\xFF\xD8" + dqt16 + sof + dht_dc + dht_ac + sos + scan + b"\xFF\xD9"
+    assert (parse_jpeg(jpg16) == 134).all()
+
+
+def test_jpeg_progressive_refuses():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from matrixprofiler_spark.codecs.jpeg import parse_jpeg, write_jpeg
+
+    x, yy = np.meshgrid(np.arange(16), np.arange(16))
+    img = ((x * yy) % 256).astype(np.uint8)
+    good = bytearray(write_jpeg(img))
+    # rewrite the SOF0 marker to SOF2 (progressive)
+    i = good.find(b"\xFF\xC0")
+    good[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        parse_jpeg(bytes(good))
+
+
+def test_decode_image_routes_jpeg_by_magic():
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.jpeg import write_jpeg
+    from matrixprofiler_spark.operators.multimodal import decode_image
+
+    x, yy = np.meshgrid(np.arange(24), np.arange(16))
+    gray = ((x * 7 + yy * 5) % 256).astype(np.uint8)
+    out = decode_image(write_jpeg(gray, quality=95), 24, 16, 3)  # real path
+    assert out.shape == (16, 24, 3)
+    assert np.abs(out[..., 0].astype(int) - gray.astype(int)).max() <= 4
+    assert (out[..., 0] == out[..., 1]).all()  # gray replicated to RGB
