@@ -210,6 +210,10 @@ def parse_png(payload: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            # a declared length past the buffer must hit the codec's
+            # corrupt-payload contract (ValueError), not struct.error
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)

@@ -73,6 +73,21 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     for timestamps) switches to the salted hot-key-safe plan; results are
     identical for any width (pytest-asserted).
     """
+    # both plans derive the range-id / tolerance-age conversion from the
+    # RIGHT side's ts dtype and apply it to both sides — a mixed-FAMILY
+    # input (e.g. double left, timestamp right) would silently convert the
+    # left rows with the wrong branch, so refuse it at entry. Within one
+    # family the branch is identical (timestamp vs timestamp_ntz both
+    # route through unix_micros), so those mixes are fine.
+    def _family(dtype):
+        return "timestamp" if dtype.typeName().startswith("timestamp") else "numeric"
+
+    lt, rt = left.schema[ts].dataType, right.schema[ts].dataType
+    if _family(lt) != _family(rt):
+        raise TypeError(
+            f"asof_join: left.{ts} is {lt.simpleString()} but right.{ts} is "
+            f"{rt.simpleString()}; cast one side so the ts families match"
+        )
     if split_width is not None:
         return _asof_join_salted(left, right, key, ts, payload_cols,
                                  tolerance, split_width)

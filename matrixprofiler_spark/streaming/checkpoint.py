@@ -54,6 +54,14 @@ def iceberg_available(spark: SparkSession, catalog: str = "mp_iceberg") -> bool:
         return False
 
 
+# Version of the input_fingerprint RECIPE (not the input). Bumped whenever
+# the hash formula changes (v1: xxhash64(doc_id, n_tok); v2: + token VALUES).
+# Stored alongside the fingerprint so a resume can tell "the recipe changed"
+# (old checkpoint dirs must be discarded / recomputed) apart from "the input
+# changed" (caller error) — both fail loudly, with different messages.
+FP_RECIPE = 2
+
+
 def read_manifest(base_dir: str | Path, stage: str, part: int) -> dict | None:
     p = Path(base_dir) / "manifests" / f"{stage}_{part}.json"
     if not p.exists():
@@ -119,7 +127,7 @@ class RollupJob:
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(doc_id, n_tok, tokens))").alias("h"),
         ).collect()[0]
-        return {"n": int(r["n"]), "h": int(r["h"] or 0)}
+        return {"n": int(r["n"]), "h": int(r["h"] or 0), "recipe": FP_RECIPE}
 
     def stage_input(self, tokens: DataFrame) -> DataFrame:
         """Write the input ONCE, hive-partitioned by group, so each commit
@@ -138,6 +146,17 @@ class RollupJob:
             if old == fp:
                 self._last_fp = fp
                 return self.spark.read.parquet(str(staged))
+            if old is not None and old.get("recipe") != FP_RECIPE:
+                # distinguish "recipe changed" from "input changed": a dir
+                # staged under an older hash formula CANNOT be compared to
+                # the current fingerprint, identical input or not
+                raise ValueError(
+                    f"base dir {self.base} was staged under fingerprint "
+                    f"recipe {old.get('recipe', 1)} but this build uses "
+                    f"recipe {FP_RECIPE}; pre-change checkpoint dirs cannot "
+                    "be verified against the current formula — discard the "
+                    "base dir (or finish the run with the old build)"
+                )
             if any((self.base / "manifests").iterdir()):
                 raise ValueError(
                     f"base dir {self.base} holds committed work for a "
@@ -256,6 +275,14 @@ class RollupJob:
     def result(self, stage: str = "rollup_1m") -> DataFrame:
         # drop the hive-style `part` layout column — physical detail only
         if self.iceberg_table:
+            if stage != "rollup_1m":
+                # Iceberg mode binds THE table to the one stage this job
+                # runs; a future multi-stage job must map stages to tables
+                # explicitly rather than silently serving wrong-stage data
+                raise ValueError(
+                    f"stage={stage!r}: iceberg_table={self.iceberg_table!r} "
+                    "holds only the 'rollup_1m' stage"
+                )
             return self.spark.table(self.iceberg_table).drop("part")
         return self.spark.read.parquet(str(self.base / f"stage={stage}")).drop("part")
 

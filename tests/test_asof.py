@@ -164,3 +164,23 @@ def test_asof_salted_random_equivalence(spark):
                                    split_width=width).collect()
             )
             assert got == base, f"trial {trial} width {width}"
+
+
+def test_asof_mixed_ts_dtypes_rejected(spark):
+    """Both plans derive ts conversions from the RIGHT side's dtype and
+    apply them to both sides — mixed-type inputs must be refused at entry
+    rather than converting left rows with the wrong branch."""
+    import pytest
+
+    left, right = _frames(spark)
+    left_ts = left.withColumn("t", F.timestamp_seconds(F.col("t")))
+    with pytest.raises(TypeError, match="families match"):
+        asof_join(left_ts, right, "k", "t", ["v"])
+    with pytest.raises(TypeError, match="families match"):
+        asof_join(left_ts, right, "k", "t", ["v"], split_width=10)
+    # same-family mixes (timestamp vs timestamp_ntz, long vs double) are
+    # legal — the conversion branch is identical within a family
+    right_ntz = right.withColumn(
+        "t", F.timestamp_seconds(F.col("t")).cast("timestamp_ntz")
+    )
+    assert asof_join(left_ts, right_ntz, "k", "t", ["v"]).count() == left.count()

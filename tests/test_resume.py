@@ -175,3 +175,24 @@ def test_iceberg_kill_and_resume(spark, tokens, tmp_path):
     got = sorted(map(tuple, resumed.result().collect()))
     direct = sorted(map(tuple, with_derived_stats(finest_rollup(tokens)).collect()))
     assert got == direct
+
+
+def test_fingerprint_recipe_change_is_distinguished(spark, tokens, tmp_path):
+    """A base dir staged under an OLDER fingerprint recipe must fail with
+    the recipe-changed message (discard the dir), not the misleading
+    'different input' one — the identical input hashes differently under
+    a changed formula, and the two cases need different operator action."""
+    import json
+
+    from matrixprofiler_spark.streaming.checkpoint import FP_RECIPE
+
+    job = RollupJob(spark, tmp_path, n_groups=2)
+    job.run(tokens)
+    fp_path = tmp_path / "input_fingerprint.json"
+    old = json.loads(fp_path.read_text())
+    assert old["recipe"] == FP_RECIPE  # staged dirs carry the version
+    old["recipe"] = FP_RECIPE - 1      # simulate a pre-change dir
+    fp_path.write_text(json.dumps(old))
+    job2 = RollupJob(spark, tmp_path, n_groups=2)
+    with pytest.raises(ValueError, match="recipe"):
+        job2.stage_input(tokens)
