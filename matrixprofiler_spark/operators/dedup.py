@@ -139,12 +139,12 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> Data
     return df.join(ok, keys)
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
-                      band_size: int = 2,
-                      max_bucket: int | None = 256) -> DataFrame:
-    """LSH candidate pairs: band id = concat of ``band_size`` adjacent
-    signature slots; docs sharing any band bucket pair up. Buckets with
-    more than ``max_bucket`` members are dropped (see _cap_buckets)."""
+def minhash_bands(docs: DataFrame, n: int = 3, num_hashes: int = 8,
+                  band_size: int = 2) -> DataFrame:
+    """(doc_id, band, bucket) LSH band assignments (pre-cap): band id =
+    concat of ``band_size`` adjacent signature slots. Exposed separately
+    so cap-accounting faces can census oversize buckets against the same
+    band universe the pairs join consumes."""
     sig = minhash_signatures(docs, n, num_hashes)
     bands = []
     for b in range(num_hashes // band_size):
@@ -159,7 +159,17 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionByName(x)
-    all_bands = _cap_buckets(all_bands, ["band", "bucket"], max_bucket)
+    return all_bands
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
+                      band_size: int = 2,
+                      max_bucket: int | None = 256) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket pair up. Buckets
+    with more than ``max_bucket`` members are dropped (see _cap_buckets)."""
+    all_bands = _cap_buckets(
+        minhash_bands(docs, n, num_hashes, band_size), ["band", "bucket"], max_bucket
+    )
     a = all_bands.alias("a")
     b2 = all_bands.alias("b")
     return (
