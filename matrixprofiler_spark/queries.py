@@ -442,6 +442,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _attach_census(df, name: str, census):
+    """Attach a 1-row count aggregate as a constant column. The census is
+    computed distributed (map-side-combinable count) and only its single
+    row reaches the driver — a bounded collect, same class as the IVF
+    centroid sums. Attaching via lit() rather than a joined 1-row frame
+    keeps the plan free of BroadcastNestedLoopJoin (Catalyst constant-
+    folds any literal-key equi-join back into one)."""
+    val = census.first()[0]
+    return df.withColumn(name, F.lit(int(val)).cast("long"))
+
+
 def _sql_dedup_ngram(cap: int, threshold: float, capfire: bool = False) -> str:
     """Capped n-gram Jaccard oracle; ``capfire`` appends the count of
     (source, gram) keys the DF cap removed as a constant column, so the
@@ -520,14 +531,7 @@ def q_dedup_ngram_capfire(spark, sf_dir):
         .filter(F.col("count") > CAPFIRE_DF)
         .agg(F.count("*").alias("n_capped_grams"))
     )
-    # 1-row aggregate attached via a constant-key broadcast equi-join (a
-    # broadcast cross join would be a BroadcastNestedLoopJoin node, which
-    # the global plan lint bans)
-    return (
-        pairs.withColumn("__one", F.lit(1))
-        .join(F.broadcast(over.withColumn("__one", F.lit(1))), "__one")
-        .drop("__one")
-    )
+    return _attach_census(pairs, "n_capped_grams", over)
 
 
 LSH_MAX_BUCKET = 256  # drop degenerate LSH buckets past this size (both engines)
@@ -600,11 +604,7 @@ def q_dedup_lsh_capfire(spark, sf_dir):
         .filter(F.col("count") > CAPFIRE_DF)
         .agg(F.count("*").alias("n_capped_buckets"))
     )
-    return (
-        pairs.withColumn("__one", F.lit(1))
-        .join(F.broadcast(over.withColumn("__one", F.lit(1))), "__one")
-        .drop("__one")
-    )
+    return _attach_census(pairs, "n_capped_buckets", over)
 
 
 SQL_DEDUP_LSH_CAPFIRE = f"""
@@ -2057,11 +2057,7 @@ def q_decontamination_capfire(spark, sf_dir):
         grams0.groupBy("gram").count().filter(F.col("count") > 2)
         .agg(F.count("*").alias("n_capped_grams"))
     )
-    return (
-        top.withColumn("__one", F.lit(1))
-        .join(F.broadcast(over.withColumn("__one", F.lit(1))), "__one")
-        .drop("__one")
-    )
+    return _attach_census(top, "n_capped_grams", over)
 
 
 def q_sample_stratified(spark, sf_dir):

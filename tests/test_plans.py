@@ -141,3 +141,41 @@ def test_lsh_bucket_caps_in_plan(spark):
     capped_s = plan_of(simhash_pairs(docs, max_bucket=64))
     uncapped_s = plan_of(simhash_pairs(docs, max_bucket=None))
     assert capped_s.count("HashAggregate") > uncapped_s.count("HashAggregate")
+
+
+def _registry_names():
+    from matrixprofiler_spark.queries import queries
+
+    return list(queries())
+
+
+# Deliberate, documented exceptions to the global lint. Each entry names
+# the one banned node a face is ALLOWED to plan, with the scale argument.
+PLAN_LINT_EXCEPTIONS = {
+    # Brute-force exact top-k is DEFINED as scoring every corpus vector
+    # against a bounded query set; the broadcast side is capped at
+    # num_queries (20) rows, so the nested loop is one corpus scan x a
+    # constant — the intended physical plan for the exact baseline. The
+    # sub-quadratic scale paths are ann_ivf_topk / ann_srp_* (equi-joins).
+    "ann_topk": "BroadcastNestedLoopJoin",
+}
+
+
+@pytest.mark.parametrize("name", _registry_names())
+def test_registry_plan_lint(spark, name):
+    """Global plan lint (whole registry): no query face may plan a
+    CartesianProduct, a BroadcastNestedLoopJoin, or a row-at-a-time
+    Python UDF (BatchEvalPython) anywhere in its tree — the three node
+    kinds that break at corpus scale — except the explicitly justified
+    entries in PLAN_LINT_EXCEPTIONS. Arrow-vectorized Python
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) is the
+    sanctioned slow path and stays legal."""
+    from matrixprofiler_spark.queries import queries
+
+    df = queries()[name](spark, SF)
+    plan = plan_of(df)
+    for banned in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "BatchEvalPython"):
+        if PLAN_LINT_EXCEPTIONS.get(name) == banned:
+            continue
+        assert banned not in plan, f"{name}: {banned} in physical plan"
