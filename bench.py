@@ -179,11 +179,15 @@ def main() -> None:
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_topk",
         "embedding_near_dups", "text_stats", "fingerprint",
     )
-    # min-of-2, second pass in reverse order: one quota-throttling episode
-    # (they last tens of seconds here) can no longer inflate a whole
-    # contiguous block of suite queries
+    # min-of-3 with a different order each pass (forward / reversed /
+    # half-rotated): quota-throttling episodes last tens of seconds and
+    # hit contiguous wall-clock blocks, so the r4 min-of-2 could still
+    # double-sample one episode (BENCH_r04 showed 3.5x phantom
+    # regressions on unchanged code); three order-shifted passes give
+    # every query three time-separated samples
     suite_runs: dict[str, list[float]] = {n: [] for n in suite}
-    for qs in (suite, tuple(reversed(suite))):
+    half = len(suite) // 2
+    for qs in (suite, tuple(reversed(suite)), suite[half:] + suite[:half]):
         for name in qs:
             t0 = time.time()
             reg[name](spark, SF_DIR).count()

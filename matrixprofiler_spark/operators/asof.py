@@ -58,9 +58,54 @@ def _project_output(carried: DataFrame, left: DataFrame, right: DataFrame,
     )
 
 
+def auto_split_width(left: DataFrame, right: DataFrame, key: str, ts: str,
+                     target_rows: int = 100_000) -> float | None:
+    """Derive the salted plan's ``split_width`` from data statistics, so
+    the 100-TB path needs no manual tuning: a one-pass per-key census
+    over BOTH sides (left rows are what serialize in the window, right
+    rows ride along) finds the hottest key's row count and the global ts
+    span; the width is chosen so that key lands ~``target_rows`` rows per
+    (key, range) bucket.
+
+    Returns None — "use the plain single-window plan" — when no key
+    exceeds ``target_rows`` (salting would only add three aggregate
+    shuffles for nothing) or when the ts span is degenerate (all rows on
+    one timestamp: ranges cannot split equal timestamps anyway).
+
+    The returned width always yields >= 2 ranges across the span
+    (pytest-asserted), so the pathological all-rows-one-range salting —
+    paying the salted plan's overhead for zero skew relief — cannot be
+    produced. Cost: one keyed aggregate + a 1-row reduction; both
+    map-side combinable, rows bounded by key cardinality."""
+    ts_type = right.schema[ts].dataType
+    both = left.select(
+        F.col(key).alias("__k"), _seconds(F.col(ts), ts_type).alias("__s")
+    ).unionByName(
+        right.select(
+            F.col(key).alias("__k"), _seconds(F.col(ts), ts_type).alias("__s")
+        )
+    )
+    per_key = both.groupBy("__k").agg(
+        F.count("*").alias("n"), F.min("__s").alias("mn"), F.max("__s").alias("mx")
+    )
+    st = per_key.agg(
+        F.max("n").alias("hot"), F.min("mn").alias("lo"), F.max("mx").alias("hi")
+    ).first()
+    if st is None or st["hot"] is None or st["hot"] <= target_rows:
+        return None
+    span = float(st["hi"]) - float(st["lo"])
+    if span <= 0:
+        return None
+    import math
+
+    n_ranges = max(2, math.ceil(st["hot"] / target_rows))
+    return span / n_ranges
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
               payload_cols: list[str], tolerance=None,
-              split_width: float | None = None) -> DataFrame:
+              split_width: float | str | None = None,
+              auto_target_rows: int = 100_000) -> DataFrame:
     """For each left row: the right row with the greatest ``ts`` <= left
     ``ts``, matching on ``key`` (backward as-of, inclusive). Right rows
     must be unique per (key, ts) — enforce upstream (e.g. a rollup).
@@ -71,7 +116,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
 
     ``split_width`` (same units as ``ts`` cast to double, e.g. seconds
     for timestamps) switches to the salted hot-key-safe plan; results are
-    identical for any width (pytest-asserted).
+    identical for any width (pytest-asserted). ``split_width="auto"``
+    derives the width from a per-key census (auto_split_width, targeting
+    ``auto_target_rows`` rows per bucket) and falls back to the plain
+    plan when no key is hot enough to need salting.
     """
     # both plans derive the range-id / tolerance-age conversion from the
     # RIGHT side's ts dtype and apply it to both sides — a mixed-FAMILY
@@ -88,6 +136,8 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
             f"asof_join: left.{ts} is {lt.simpleString()} but right.{ts} is "
             f"{rt.simpleString()}; cast one side so the ts families match"
         )
+    if split_width == "auto":
+        split_width = auto_split_width(left, right, key, ts, auto_target_rows)
     if split_width is not None:
         return _asof_join_salted(left, right, key, ts, payload_cols,
                                  tolerance, split_width)

@@ -2592,11 +2592,14 @@ _SQL_TS_US = "date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', {col})"
 def q_asof_purchases(spark, sf_dir):
     """AS-OF JOIN (operators/asof.py): every event is joined to the most
     recent hourly PURCHASE rollup bucket of the same user at or before its
-    timestamp. Routed through the SALTED hot-key-safe plan (split_width =
-    1 day → the carry window partitions by (user, day), so a hot user
-    spreads across days; result-identical to the plain single-shuffle
-    plan, pytest-asserted in tests/test_asof.py). The oracle is DuckDB's
-    native ASOF JOIN — identical semantics, independent implementation."""
+    timestamp. Routed through the SALTED hot-key-safe plan via the AUTO
+    width: split_width="auto" runs the per-key census (auto_split_width)
+    and picks a width putting ~auto_target_rows rows in each (user,
+    range) bucket — 20 here so the census provably activates salting at
+    test scale (hottest user ~86 rows). Result-identical to the plain
+    single-shuffle plan for any width, pytest-asserted in
+    tests/test_asof.py. The oracle is DuckDB's native ASOF JOIN —
+    identical semantics, independent implementation."""
     from .operators.asof import asof_join
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2609,7 +2612,8 @@ def q_asof_purchases(spark, sf_dir):
     )
     left = ev.select("event_id", "user_id", "ts")
     j = asof_join(left, hourly, key="user_id", ts="ts",
-                  payload_cols=["p_cnt", "p_cents"], split_width=86400.0)
+                  payload_cols=["p_cnt", "p_cents"], split_width="auto",
+                  auto_target_rows=20)
     return j.select(
         "event_id", "user_id",
         _ts_us("ts").alias("ts_us"),

@@ -184,3 +184,46 @@ def test_asof_mixed_ts_dtypes_rejected(spark):
         "t", F.timestamp_seconds(F.col("t")).cast("timestamp_ntz")
     )
     assert asof_join(left_ts, right_ntz, "k", "t", ["v"]).count() == left.count()
+
+
+def test_auto_split_width(spark):
+    """auto_split_width: (a) returns None when no key exceeds the target
+    (plain plan suffices) or when the span is degenerate; (b) for a hot
+    key always yields >= 2 ranges across the span (the pathological
+    all-rows-one-range salting cannot be produced); (c) the auto-routed
+    join is result-identical to plain and fixed-width plans."""
+    import math
+
+    from matrixprofiler_spark.operators.asof import auto_split_width
+
+    rows = [(1, t, f"L{t}") for t in range(200)] + [(2, 5, "Lx")]
+    left = spark.createDataFrame(rows, "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, t, t * 10) for t in range(0, 200, 7)], "k long, t long, v long"
+    )
+
+    # (a) nobody hot -> None; degenerate span -> None
+    assert auto_split_width(left, right, "k", "t", target_rows=10_000) is None
+    one_ts = spark.createDataFrame([(1, 5, "a")] * 30, "k long, t long, tag string")
+    assert auto_split_width(one_ts, right.filter("t = 5"), "k", "t",
+                            target_rows=3) is None
+
+    # (b) hot key (key 1: 200 left + 29 right rows, span 199) -> >= 2 ranges
+    w = auto_split_width(left, right, "k", "t", target_rows=50)
+    assert w is not None and 0 < w < 199  # width < span -> at least 2 ranges
+    assert math.ceil(199 / w) >= 2
+
+    # (c) auto == plain == fixed widths
+    base = sorted((r.k, r.t, r.tag, r.v, r.asof_ts)
+                  for r in asof_join(left, right, "k", "t", ["v"]).collect())
+    got_auto = sorted(
+        (r.k, r.t, r.tag, r.v, r.asof_ts)
+        for r in asof_join(left, right, "k", "t", ["v"], split_width="auto",
+                           auto_target_rows=50).collect()
+    )
+    assert got_auto == base
+    got_fixed = sorted(
+        (r.k, r.t, r.tag, r.v, r.asof_ts)
+        for r in asof_join(left, right, "k", "t", ["v"], split_width=w).collect()
+    )
+    assert got_fixed == base
