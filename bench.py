@@ -218,7 +218,24 @@ def main() -> None:
     # only the idle tail is reclaimed.
     import threading
 
-    MP_CUT = 8192
+    # Routing cut: one blob task per doc up to MP_CUT tokens; beyond it a
+    # doc becomes distributed (chunk x chunk) tiles. The cut is a
+    # per-task cost bound, not a kernel limit — a 16384-token doc is one
+    # ~2.3s task, and the per-doc MPX diagonals run ~1.6x faster per
+    # half-pair than the tiled dgemm (measured single-thread: 59M vs 35M
+    # at n=16k), because a tile pays its partner-chunk transfer plus
+    # cross-tile recompute of the window stats. So the cut sits at the
+    # corpus max (16384): tiles are the price of spanning tasks and
+    # should only be paid when a doc genuinely cannot be one task.
+    # r4 (cut=8192) routed 81% of the half-pairs through tiles and
+    # measured 543.7s solo; this routing measured 285.4s at identical
+    # work. The tile path stays live for docs > cut (none in this corpus)
+    # and is certified by the matrix_profile_w8_dist oracle face.
+    MP_CUT = 16384
+    # 16x cores: ~7 heavy docs per task, so the stage drains with a
+    # single-task (~18s) tail instead of the 4x-cores ~60s straggler
+    # (measured 394s -> 285s at equal work)
+    mp_parts = 16 * CPUS
     t0 = time.time()
     mp_res: dict = {}
     mp_err: list = []
@@ -231,7 +248,7 @@ def main() -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "mp_blobs")
             mp_docs = matrix_profile_blobs(
                 tokens.filter(F.col("n_tok") <= MP_CUT), w=128,
-                max_tokens=MP_CUT, num_partitions=parts,
+                max_tokens=MP_CUT, num_partitions=mp_parts,
             )
             mp_res["blobs"] = mp_docs.agg(F.sum("profile_len")).collect()[0][0] or 0
         except BaseException as e:  # surfaced after join
@@ -242,7 +259,7 @@ def main() -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "mp_dist")
             mp_res["dist"] = matrix_profile_distributed(
                 tokens.filter(F.col("n_tok") > MP_CUT), w=128,
-                chunk_len=3072, num_partitions=parts,
+                chunk_len=3072, num_partitions=mp_parts,
             ).count()
         except BaseException as e:
             mp_err.append(e)

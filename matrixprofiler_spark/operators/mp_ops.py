@@ -191,7 +191,13 @@ def matrix_profile_distributed(tokens_df: DataFrame, w: int, ez: float = 0.5,
     from .rollup import chunk_tokens
 
     exclusion = c_round(w * ez + np.finfo(np.float64).eps)
-    chunks = chunk_tokens(tokens_df.filter(F.size("tokens") >= 2 * w), w, chunk_len)
+    # equalize: per-doc stride ceil(n_win/n_chunks) instead of a fixed
+    # chunk_len, so a doc just past a chunk_len multiple cannot emit a
+    # near-empty sliver chunk (which would pair with EVERY other chunk of
+    # its doc, paying full tile setup + Arrow transfer of the partner
+    # array for a handful of windows); results are chunk-invariant
+    chunks = chunk_tokens(tokens_df.filter(F.size("tokens") >= 2 * w), w,
+                          chunk_len, equalize=True)
     a = chunks.select(
         "doc_id", F.col("chunk_off").alias("a_off"), F.col("tokens").alias("a_tok")
     )

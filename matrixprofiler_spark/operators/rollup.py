@@ -244,7 +244,8 @@ def window_stats(tokens_df: DataFrame, w: int, num_partitions: int | None = None
     return df.select(*cols).mapInPandas(kernel, schema=WINDOW_STATS_SCHEMA)
 
 
-def chunk_tokens(tokens_df: DataFrame, w: int, chunk_len: int = 4096) -> DataFrame:
+def chunk_tokens(tokens_df: DataFrame, w: int, chunk_len: int = 4096,
+                 equalize: bool = False) -> DataFrame:
     """Range-repartition on sequence offset: split long docs into chunks of
     ``chunk_len`` offsets with w-1 overlap — the distributed analog of MASS
     v3's chunked processing (src/mass.cpp:168-192) — so a single 16k-token
@@ -256,19 +257,37 @@ def chunk_tokens(tokens_df: DataFrame, w: int, chunk_len: int = 4096) -> DataFra
     slice), then a repartition spreads chunks across tasks.
 
     Output schema: (doc_id, source, chunk_off long, tokens array<int>) where
-    chunk_off is the global offset of the chunk's first element."""
-    n_chunks = F.ceil((F.col("n_tok") - F.lit(w - 1)) / F.lit(chunk_len)).cast("int")
-    n_chunks = F.greatest(n_chunks, F.lit(1))
+    chunk_off is the global offset of the chunk's first element.
+
+    ``equalize=True`` keeps the same per-doc chunk COUNT but spreads the
+    window starts evenly across the chunks (stride = ceil(n_win /
+    n_chunks) instead of a fixed chunk_len): a doc whose window count is
+    just past a chunk_len multiple no longer produces a near-empty
+    sliver chunk that pays full task/Arrow setup for a handful of
+    windows. Stride <= chunk_len always, (n_chunks-1)*stride < n_win
+    always (no empty chunks), and every window start still lands in
+    exactly one chunk — so any chunk-invariant consumer (the distributed
+    matrix profile, per-window stats) is bit-identical either way
+    (pytest-asserted)."""
+    n_win = F.col("n_tok").cast("long") - F.lit(w - 1)
+    n_chunks = F.greatest(
+        F.ceil(n_win / F.lit(chunk_len)).cast("int"), F.lit(1)
+    )
+    if equalize:
+        step = F.ceil(n_win / n_chunks).cast("long")
+    else:
+        step = F.lit(chunk_len).cast("long")
     chunks = tokens_df.select(
         "doc_id",
         "source",
         "n_tok",
         "tokens",
+        step.alias("__step"),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
     )
-    start = F.col("chunk_id").cast("long") * chunk_len
+    start = F.col("chunk_id").cast("long") * F.col("__step")
     length = F.least(
-        F.lit(chunk_len + w - 1), F.col("n_tok").cast("long") - start
+        F.col("__step") + F.lit(w - 1), F.col("n_tok").cast("long") - start
     )
     return chunks.select(
         "doc_id",

@@ -276,3 +276,62 @@ def test_lttb_keeps_spikes_and_endpoints(spark):
         assert g["b"].is_unique                         # one point per bucket
         assert (g["x"] // LTTB_B == g["b"]).all()       # point inside its bucket
         assert g.iloc[-1]["x"] == g["x"].max()          # last point kept
+
+
+def test_chunk_tokens_equalized_no_slivers(spark):
+    """equalize=True must (a) keep every window start in exactly one chunk
+    (lossless coverage, same contract as fixed-stride chunking), (b) never
+    emit a sliver: all chunks of a doc within one window of each other,
+    and (c) leave chunk-invariant consumers bit-identical — checked here
+    via window-start coverage; the distributed-MP equality runs in
+    test_matrix_profile_distributed_bitexact (which now exercises the
+    equalized grid)."""
+    from matrixprofiler_spark.operators.rollup import chunk_tokens
+
+    w, chunk_len = 16, 100
+    # lengths chosen to produce sliver chunks under fixed stride:
+    # 100*k + small remainders of window starts
+    rows = [(f"d{n}", "s", n, list(range(n)))
+            for n in (15, 16, 31, 115, 216, 301, 405, 999, 1001, 1016)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int, tokens array<int>"
+    )
+    out = chunk_tokens(df, w, chunk_len, equalize=True).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_off, len(r.tokens)))
+    for (doc, src, n, _) in rows:
+        chunks = sorted(by_doc[doc])
+        n_win = max(n - w + 1, 1)
+        starts_covered = []
+        win_counts = []
+        for off, ln in chunks:
+            n_starts = max(ln - w + 1, 0) if n >= w else 1
+            win_counts.append(max(n_starts, 1))
+            starts_covered.extend(range(off, off + max(n_starts, 1)))
+        # (a) exact cover, no dup, no gap
+        assert starts_covered == list(range(n_win)), doc
+        # (b) balanced: spread of per-chunk window counts <= 1 stride unit
+        if len(chunks) > 1:
+            assert max(win_counts) - min(win_counts) <= chunk_len // 2, (
+                doc, win_counts
+            )
+
+
+def test_matrix_profile_distributed_equalized_grid(spark):
+    """The equalized chunk grid must keep the distributed MP bit-identical
+    to the one-task exact face at chunk lengths that force slivers under
+    a fixed stride."""
+    import numpy as np
+
+    from matrixprofiler_spark.operators.mp_ops import matrix_profile_distributed
+    from matrixprofiler_spark.operators.windows import matrix_profile_exact
+    from matrixprofiler_spark.sources.tokens import chars_from_documents
+
+    chars = chars_from_documents(spark, "/root/testdata/sf0.001", 256).limit(25)
+    ref = {(r.doc_id, r.off): (r.mp, r.nn_off)
+           for r in matrix_profile_exact(chars, 32, ez=0.5).collect()}
+    for chunk_len in (65, 97):  # co-prime-ish with doc lengths -> slivers
+        got = {(r.doc_id, r.off): (r.mp, r.nn_off)
+               for r in matrix_profile_distributed(chars, 32, chunk_len=chunk_len).collect()}
+        assert got == ref, chunk_len
