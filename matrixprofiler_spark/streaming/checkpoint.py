@@ -228,14 +228,40 @@ class RollupJob:
             (self.base / f"_stage_{stage}_COMMITTED").touch()
         return processed
 
+    # The two catalog-API primitives of the commit path, factored out so
+    # the ORCHESTRATION below (shape check, create-vs-replace decision,
+    # snapshot lineage in manifests, resume/skip semantics) is executable
+    # under test against the session catalog even without the Iceberg
+    # runtime jar (tests/test_resume.py::test_iceberg_commit_contract_*);
+    # only these two one-call wrappers stay jar-gated.
+
+    def _replace_partition(self, data: DataFrame, exists: bool) -> None:
+        """Create the partitioned table on first commit, else atomically
+        REPLACE its part=k slice (Iceberg overwritePartitions — an
+        all-or-nothing snapshot commit; a killed write leaves the
+        previous snapshot intact, the same torn-write guarantee the
+        parquet path gets from write-then-rename)."""
+        w = data.writeTo(self.iceberg_table)
+        if not exists:
+            w.partitionedBy(F.col("part")).create()
+        else:
+            w.overwritePartitions()
+
+    def _snapshot_id(self) -> int | None:
+        """Main-branch head right after our commit (single-writer
+        assumption, same as the manifest dir itself — a concurrent
+        writer on the same table would need the Java commit API to
+        capture its own snapshot atomically)."""
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.iceberg_table}.refs "
+            "WHERE name = 'main'"
+        ).collect()
+        return int(snap[0][0]) if snap else None
+
     def _commit_iceberg(self, out: DataFrame, k: int):
         """Atomic per-group commit: REPLACE the grp=k partition of the
-        Iceberg table (an all-or-nothing snapshot commit — a killed write
-        leaves the previous snapshot intact, which is exactly the torn-
-        write guarantee the parquet path gets from write-then-rename).
-        Returns (committed rows DF, snapshot_id)."""
+        Iceberg table. Returns (committed rows DF, snapshot_id)."""
         data = out.withColumn("part", F.lit(k))
-        w = data.writeTo(self.iceberg_table)
         try:
             exists = self.spark.catalog.tableExists(self.iceberg_table)
         except Exception:
@@ -255,22 +281,11 @@ class RollupJob:
                     f"n_groups={self.n_groups}; use a fresh table"
                 )
         self._iceberg_shape_checked = True
-        if not exists:
-            w.partitionedBy(F.col("part")).create()
-        else:
-            w.overwritePartitions()
+        self._replace_partition(data, exists)
         committed = (
             self.spark.table(self.iceberg_table).filter(F.col("part") == k).drop("part")
         )
-        # the main-branch head right after our commit (single-writer
-        # assumption, same as the manifest dir itself — a concurrent
-        # writer on the same table would need the Java commit API to
-        # capture its own snapshot atomically)
-        snap = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.iceberg_table}.refs "
-            "WHERE name = 'main'"
-        ).collect()
-        return committed, (int(snap[0][0]) if snap else None)
+        return committed, self._snapshot_id()
 
     def result(self, stage: str = "rollup_1m") -> DataFrame:
         # drop the hive-style `part` layout column — physical detail only
