@@ -206,6 +206,8 @@ def main():
     }
     print(json.dumps(result, indent=2))
     suffix = f"_{user_exec_cores}core" if user_exec_cores else ""
+    if n_docs != 120000:
+        suffix += f"_{n_docs // 1000}kdocs"  # don't clobber the 120k artifacts
     with open(
         REPO / "BENCH" / f"scaling_result_{n_small}to{n_big}{suffix}.json", "w"
     ) as f:

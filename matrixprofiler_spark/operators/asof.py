@@ -69,14 +69,19 @@ def auto_split_width(left: DataFrame, right: DataFrame, key: str, ts: str,
 
     Returns None — "use the plain single-window plan" — when no key
     exceeds ``target_rows`` (salting would only add three aggregate
-    shuffles for nothing) or when the ts span is degenerate (all rows on
-    one timestamp: ranges cannot split equal timestamps anyway).
+    shuffles for nothing) or when every hot key's OWN ts span is
+    degenerate (all its rows on one timestamp: ranges cannot split equal
+    timestamps, salting cannot relieve that straggler).
 
-    The returned width always yields >= 2 ranges across the span
-    (pytest-asserted), so the pathological all-rows-one-range salting —
-    paying the salted plan's overhead for zero skew relief — cannot be
-    produced. Cost: one keyed aggregate + a 1-row reduction; both
-    map-side combinable, rows bounded by key cardinality."""
+    The width is derived per hot key from that key's own span — the
+    minimum over hot keys of span_k / max(2, ceil(n_k / target)) — NOT
+    from the global span: a hot key whose rows occupy a narrow slice of
+    a wide global span would otherwise land in ~1 range and get zero
+    skew relief. Taking the min width over-splits the other keys, whose
+    cost is only extra one-row-per-(key, range) aggregate rows. Every
+    hot key with a positive span is guaranteed >= 2 ranges
+    (pytest-asserted). Cost: one keyed aggregate + a 1-row reduction;
+    both map-side combinable, rows bounded by key cardinality."""
     ts_type = right.schema[ts].dataType
     both = left.select(
         F.col(key).alias("__k"), _seconds(F.col(ts), ts_type).alias("__s")
@@ -88,18 +93,24 @@ def auto_split_width(left: DataFrame, right: DataFrame, key: str, ts: str,
     per_key = both.groupBy("__k").agg(
         F.count("*").alias("n"), F.min("__s").alias("mn"), F.max("__s").alias("mx")
     )
-    st = per_key.agg(
-        F.max("n").alias("hot"), F.min("mn").alias("lo"), F.max("mx").alias("hi")
-    ).first()
-    if st is None or st["hot"] is None or st["hot"] <= target_rows:
+    st = (
+        per_key.filter(
+            (F.col("n") > target_rows) & (F.col("mx") > F.col("mn"))
+        )
+        .select(
+            (
+                (F.col("mx") - F.col("mn"))
+                / F.greatest(
+                    F.lit(2), F.ceil(F.col("n") / F.lit(float(target_rows)))
+                )
+            ).alias("w_k")
+        )
+        .agg(F.min("w_k").alias("w"))
+        .first()
+    )
+    if st is None or st["w"] is None:
         return None
-    span = float(st["hi"]) - float(st["lo"])
-    if span <= 0:
-        return None
-    import math
-
-    n_ranges = max(2, math.ceil(st["hot"] / target_rows))
-    return span / n_ranges
+    return float(st["w"])
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
@@ -126,11 +137,27 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     # input (e.g. double left, timestamp right) would silently convert the
     # left rows with the wrong branch, so refuse it at entry. Within one
     # family the branch is identical (timestamp vs timestamp_ntz both
-    # route through unix_micros), so those mixes are fine.
+    # route through unix_micros), so those mixes are fine. Anything that
+    # is neither numeric nor timestamp (string, date, ...) is refused
+    # outright: a string ts would make the plain plan sort
+    # lexicographically while the salted plan ranges numerically — two
+    # silently divergent results.
+    from pyspark.sql.types import NumericType
+
     def _family(dtype):
-        return "timestamp" if dtype.typeName().startswith("timestamp") else "numeric"
+        if dtype.typeName().startswith("timestamp"):
+            return "timestamp"
+        if isinstance(dtype, NumericType):
+            return "numeric"
+        return None
 
     lt, rt = left.schema[ts].dataType, right.schema[ts].dataType
+    for side, t in (("left", lt), ("right", rt)):
+        if _family(t) is None:
+            raise TypeError(
+                f"asof_join: {side}.{ts} is {t.simpleString()}; ts must be "
+                "a numeric or timestamp column (cast explicitly)"
+            )
     if _family(lt) != _family(rt):
         raise TypeError(
             f"asof_join: left.{ts} is {lt.simpleString()} but right.{ts} is "

@@ -448,7 +448,11 @@ def _attach_census(df, name: str, census):
     row reaches the driver — a bounded collect, same class as the IVF
     centroid sums. Attaching via lit() rather than a joined 1-row frame
     keeps the plan free of BroadcastNestedLoopJoin (Catalyst constant-
-    folds any literal-key equi-join back into one)."""
+    folds any literal-key equi-join back into one). Deliberate trade:
+    the census job runs eagerly at face-CONSTRUCTION time and rescans
+    the gram/band universe the pairs plan will recompute — bounded,
+    certification-face-only cost; the production operators themselves
+    attach no census."""
     val = census.first()[0]
     return df.withColumn(name, F.lit(int(val)).cast("long"))
 
@@ -1935,6 +1939,13 @@ def q_decontamination(spark, sf_dir):
     dropped from the join universe (the dedup.py:78-85 rare-gram
     pattern), bounding the fan-out of any hot gram to K^2 pairs; the
     oracle applies the identical cap."""
+    return _decon_top_hits(spark, sf_dir, DECON_MAX_DOC_FREQ)
+
+
+def _decon_top_hits(spark, sf_dir, cap: int):
+    """Shared decontamination pipeline (both the default-cap face and the
+    cap-ACTIVE certification face run exactly this plan, differing only
+    in ``cap`` — one definition so they cannot desync)."""
     from pyspark.sql.window import Window
 
     from .operators.dedup import _ngrams, doc_words
@@ -1948,7 +1959,7 @@ def q_decontamination(spark, sf_dir):
     rare = (
         grams.groupBy("gram")
         .count()
-        .filter(F.col("count") <= DECON_MAX_DOC_FREQ)
+        .filter(F.col("count") <= cap)
         .select("gram")
     )
     grams = grams.join(rare, "gram")
@@ -2019,7 +2030,7 @@ SELECT eval_id, train_id, shared{sel_extra} FROM rk{join_extra} WHERE rn = 1
 
 
 SQL_DECONTAMINATION = _sql_decontamination(DECON_MAX_DOC_FREQ)
-SQL_DECON_CAPFIRE = _sql_decontamination(2, capfire=True)
+SQL_DECON_CAPFIRE = _sql_decontamination(CAPFIRE_DF, capfire=True)
 
 
 def q_decontamination_capfire(spark, sf_dir):
@@ -2027,34 +2038,17 @@ def q_decontamination_capfire(spark, sf_dir):
     every 5-gram shared by >2 docs (dozens exist in the test corpus —
     pinned by the n_capped_grams column the oracle replicates), so the
     eval-train overlap is computed over a verifiably capped gram universe.
-    Same plan as q_decontamination, lower cap, plus the dropped-gram
-    census riding on each row."""
-    from pyspark.sql.window import Window
-
+    Same plan as q_decontamination (literally — both faces call the
+    shared _decon_top_hits), lower cap, plus the dropped-gram census
+    riding on each row."""
     from .operators.dedup import _ngrams, doc_words
 
-    docs = _docs(spark, sf_dir)
-    grams0 = doc_words(docs).select(
+    top = _decon_top_hits(spark, sf_dir, CAPFIRE_DF)
+    grams0 = doc_words(_docs(spark, sf_dir)).select(
         "doc_id", F.explode(_ngrams(F.col("words"), 5)).alias("gram")
     )
-    rare = grams0.groupBy("gram").count().filter(F.col("count") <= 2).select("gram")
-    grams = grams0.join(rare, "gram")
-    did = F.col("doc_id").cast("long")
-    ev = grams.filter(did % 17 == 0).select(F.col("doc_id").alias("eval_id"), "gram")
-    tr = grams.filter(did % 17 != 0).select(F.col("doc_id").alias("train_id"), "gram")
-    hits = ev.join(tr, "gram").groupBy("eval_id", "train_id").agg(
-        F.count("*").alias("shared")
-    )
-    rk = Window.partitionBy("eval_id").orderBy(
-        F.col("shared").desc(), F.col("train_id").asc()
-    )
-    top = (
-        hits.withColumn("rn", F.row_number().over(rk))
-        .filter(F.col("rn") == 1)
-        .select("eval_id", "train_id", "shared")
-    )
     over = (
-        grams0.groupBy("gram").count().filter(F.col("count") > 2)
+        grams0.groupBy("gram").count().filter(F.col("count") > CAPFIRE_DF)
         .agg(F.count("*").alias("n_capped_grams"))
     )
     return _attach_census(top, "n_capped_grams", over)

@@ -143,19 +143,29 @@ class RollupJob:
         fp = self.input_fingerprint(tokens)
         if (staged / "_SUCCESS").exists():
             old = json.loads(fp_path.read_text()) if fp_path.exists() else None
-            if old == fp:
+            if old is not None and (old.get("n"), old.get("h")) == (fp["n"], fp["h"]):
+                # the staged values MATCH under the current formula — the
+                # input is verified identical regardless of what recipe
+                # tag the dir carries (a dir staged by a same-formula
+                # build that predates the tag must not be spuriously
+                # invalidated); stamp the current recipe for next time
+                if old.get("recipe") != FP_RECIPE:
+                    tmp = self.base / ".input_fingerprint.json.tmp"
+                    tmp.write_text(json.dumps(fp))
+                    os.replace(tmp, fp_path)
                 self._last_fp = fp
                 return self.spark.read.parquet(str(staged))
             if old is not None and old.get("recipe") != FP_RECIPE:
-                # distinguish "recipe changed" from "input changed": a dir
-                # staged under an older hash formula CANNOT be compared to
-                # the current fingerprint, identical input or not
+                # values differ AND the recipe tag differs: cannot tell
+                # "input changed" from "hash formula changed" — fail loud
+                # with the ambiguity spelled out rather than guessing
                 raise ValueError(
                     f"base dir {self.base} was staged under fingerprint "
-                    f"recipe {old.get('recipe', 1)} but this build uses "
-                    f"recipe {FP_RECIPE}; pre-change checkpoint dirs cannot "
-                    "be verified against the current formula — discard the "
-                    "base dir (or finish the run with the old build)"
+                    f"recipe {old.get('recipe', 'pre-tag')} and its values "
+                    f"do not match this build's recipe-{FP_RECIPE} "
+                    "fingerprint; this is either a changed input or a "
+                    "changed hash formula — discard the base dir (or "
+                    "finish the run with the old build)"
                 )
             if any((self.base / "manifests").iterdir()):
                 raise ValueError(
@@ -180,6 +190,15 @@ class RollupJob:
         """Process all incomplete groups; returns the groups processed this
         run. ``fail_after`` aborts after N groups (for kill-and-resume
         tests)."""
+        if self.iceberg_table and stage != "rollup_1m":
+            # refuse BEFORE any commit: a second stage would overwrite the
+            # one table's partitions with wrong-stage data (result() has
+            # the same guard, but by then the clobbering would be done)
+            raise ValueError(
+                f"stage={stage!r}: iceberg_table={self.iceberg_table!r} "
+                "holds only the 'rollup_1m' stage; map additional stages "
+                "to their own tables"
+            )
         done = set(self.completed_groups(stage))
         staged = self.stage_input(tokens)
         processed = []

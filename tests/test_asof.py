@@ -184,6 +184,17 @@ def test_asof_mixed_ts_dtypes_rejected(spark):
         "t", F.timestamp_seconds(F.col("t")).cast("timestamp_ntz")
     )
     assert asof_join(left_ts, right_ntz, "k", "t", ["v"]).count() == left.count()
+    # non-numeric, non-timestamp ts (string, date) are refused outright:
+    # the plain plan would sort a string ts lexicographically while the
+    # salted plan ranges numerically — silently divergent results
+    left_str = left.withColumn("t", F.col("t").cast("string"))
+    with pytest.raises(TypeError, match="numeric or timestamp"):
+        asof_join(left_str, right, "k", "t", ["v"])
+    right_date = right.withColumn(
+        "t", F.date_add(F.lit("2024-01-01").cast("date"), F.col("t").cast("int"))
+    )
+    with pytest.raises(TypeError, match="numeric or timestamp"):
+        asof_join(left, right_date, "k", "t", ["v"])
 
 
 def test_auto_split_width(spark):
@@ -212,6 +223,17 @@ def test_auto_split_width(spark):
     w = auto_split_width(left, right, "k", "t", target_rows=50)
     assert w is not None and 0 < w < 199  # width < span -> at least 2 ranges
     assert math.ceil(199 / w) >= 2
+
+    # (b2) the width derives from the HOT KEY'S OWN span, not the global
+    # one: a hot key bunched in [0, 10] next to a sparse key spanning
+    # 100000 must still land in >= 2 ranges
+    bunched = spark.createDataFrame(
+        [(1, t % 11, f"L{t}") for t in range(100)] + [(2, 0, "s0"), (2, 100000, "s1")],
+        "k long, t long, tag string",
+    )
+    r2 = spark.createDataFrame([(1, 5, 7)], "k long, t long, v long")
+    w2 = auto_split_width(bunched, r2, "k", "t", target_rows=50)
+    assert w2 is not None and w2 <= 10 / 2  # >= 2 ranges across [0, 10]
 
     # (c) auto == plain == fixed widths
     base = sorted((r.k, r.t, r.tag, r.v, r.asof_ts)

@@ -178,10 +178,12 @@ def test_iceberg_kill_and_resume(spark, tokens, tmp_path):
 
 
 def test_fingerprint_recipe_change_is_distinguished(spark, tokens, tmp_path):
-    """A base dir staged under an OLDER fingerprint recipe must fail with
-    the recipe-changed message (discard the dir), not the misleading
-    'different input' one — the identical input hashes differently under
-    a changed formula, and the two cases need different operator action."""
+    """Recipe-tag semantics: (a) a dir whose staged VALUES match under
+    the current formula resumes fine regardless of its recipe tag (a
+    same-formula build that predates the tag must not be spuriously
+    invalidated) and gets re-stamped; (b) when values differ AND the tag
+    differs, the error names the input-vs-formula ambiguity instead of
+    asserting 'different input'."""
     import json
 
     from matrixprofiler_spark.streaming.checkpoint import FP_RECIPE
@@ -189,13 +191,22 @@ def test_fingerprint_recipe_change_is_distinguished(spark, tokens, tmp_path):
     job = RollupJob(spark, tmp_path, n_groups=2)
     job.run(tokens)
     fp_path = tmp_path / "input_fingerprint.json"
-    old = json.loads(fp_path.read_text())
-    assert old["recipe"] == FP_RECIPE  # staged dirs carry the version
-    old["recipe"] = FP_RECIPE - 1      # simulate a pre-change dir
-    fp_path.write_text(json.dumps(old))
+    good = json.loads(fp_path.read_text())
+    assert good["recipe"] == FP_RECIPE  # staged dirs carry the version
+
+    # (a) matching values under an old/missing tag -> accepted + re-stamped
+    pre_tag = {k: v for k, v in good.items() if k != "recipe"}
+    fp_path.write_text(json.dumps(pre_tag))
     job2 = RollupJob(spark, tmp_path, n_groups=2)
-    with pytest.raises(ValueError, match="recipe"):
-        job2.stage_input(tokens)
+    assert job2.run(tokens) == []  # all groups already committed
+    assert json.loads(fp_path.read_text())["recipe"] == FP_RECIPE
+
+    # (b) differing values + differing tag -> the ambiguity error
+    bad = dict(good, h=good["h"] ^ 1, recipe=FP_RECIPE - 1)
+    fp_path.write_text(json.dumps(bad))
+    job3 = RollupJob(spark, tmp_path, n_groups=2)
+    with pytest.raises(ValueError, match="changed input or a\n?\\s*changed hash formula|hash formula"):
+        job3.stage_input(tokens)
 
 
 def test_iceberg_commit_contract_on_session_catalog(spark, tokens, tmp_path,
@@ -255,9 +266,13 @@ def test_iceberg_commit_contract_on_session_catalog(spark, tokens, tmp_path,
     got = sorted(map(tuple, job2.result().collect()))
     ref = sorted(map(tuple, ref_job.result().collect()))
     assert got == ref
-    # unknown stage in Iceberg mode is an error, never wrong-stage data
+    # unknown stage in Iceberg mode is an error, never wrong-stage data —
+    # at BOTH layers: result() (read) and run() (refused BEFORE any
+    # commit could clobber the table's partitions)
     with pytest.raises(ValueError, match="rollup_1m"):
         job2.result(stage="rollup_1h")
+    with pytest.raises(ValueError, match="rollup_1m"):
+        job2.run(tokens, stage="rollup_1h")
 
     # the stale-partition shape check fires for a smaller regrouping
     job3 = SessionCatalogJob(spark, tmp_path / "base3", n_groups=2,
