@@ -175,7 +175,8 @@ def main() -> None:
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     reg = qreg()
     suite = (
-        "rollup_1m", "sliding_stats_w8", "matrix_profile_w8", "mass_w8",
+        "rollup_1m", "retention_policy", "sliding_stats_w8",
+        "matrix_profile_w8", "mass_w8",
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_topk",
         "embedding_near_dups", "text_stats", "fingerprint",
     )

@@ -391,3 +391,42 @@ def tier_blobs(rollup: DataFrame) -> DataFrame:
     return rollup.groupBy("doc_id", "source", "tier").applyInPandas(
         pack, schema=TIER_BLOBS_SCHEMA
     )
+
+
+def retention_policy(fine: DataFrame, coarse: DataFrame, fine_size: int,
+                     coarse_size: int, horizon: int) -> DataFrame:
+    """Tiered retention serving view (the north star's "retention" stage;
+    semantics modeled on TimescaleDB drop_chunks + continuous-aggregate
+    real-time views): recent data is served at the fine tier, data older
+    than ``horizon`` token positions only at the coarse tier.
+
+    The per-doc watermark is the fine tier's high-water offset
+    ``(max(bucket)+1)*fine_size``; the expiry cutoff ``wm - horizon`` is
+    aligned DOWN to a coarse-bucket boundary so the two tiers partition
+    the offset axis exactly — every position is served by exactly one
+    tier (no double-serving across the seam, no gap; property-tested:
+    sum(cnt) over served rows == n_tok per doc).
+
+    Scale: the watermark is one map-side-combinable groupBy(doc_id) over
+    the fine rollup (not the raw tokens) followed by equi-joins on doc_id
+    — hash-shuffled, no broadcast of any corpus-sized side, no skew (one
+    wm row per doc). At 10^12 sequences this is strictly cheaper than
+    the rollup that feeds it."""
+    wm = fine.groupBy("doc_id").agg(
+        ((F.max("bucket") + 1) * fine_size).alias("wm")
+    )
+    # align the cutoff down to a coarse boundary; may go negative for
+    # short docs (then nothing is expired and the coarse tier serves 0)
+    cutoff = (F.floor((F.col("wm") - F.lit(horizon)) / coarse_size)
+              * coarse_size).cast("long")
+    keep_fine = (
+        fine.join(wm, "doc_id")
+        .where((F.col("bucket") + 1) * fine_size > cutoff)
+        .drop("wm")
+    )
+    keep_coarse = (
+        coarse.join(wm, "doc_id")
+        .where((F.col("bucket") + 1) * coarse_size <= cutoff)
+        .drop("wm")
+    )
+    return keep_fine.unionByName(keep_coarse)

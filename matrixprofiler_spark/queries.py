@@ -120,6 +120,58 @@ def q_rollup_cascade(spark, sf_dir):
 
 SQL_ROLLUP_CASCADE = SQL_ROLLUP_1M.replace(f"// {BUCKET} ", f"// {BUCKET_COARSE} ")
 
+RET_HORIZON = 32  # token positions; both tiers provably active for docs >= 81 tok
+
+
+def q_retention_policy(spark, sf_dir):
+    """North-rule "retention" stage: tiered serving view — offsets newer
+    than the horizon served at the fine tier, older only at the coarse
+    tier, cutoff aligned to a coarse boundary (exact partition of the
+    offset axis; TimescaleDB drop_chunks + real-time aggregate analog)."""
+    from .operators.rollup import retention_policy
+
+    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
+    h1 = cascade_tier(m1, BUCKET, BUCKET_COARSE, "1h")
+    served = retention_policy(m1, h1, BUCKET, BUCKET_COARSE, RET_HORIZON)
+    return served.select(
+        "doc_id", "tier", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v"
+    )
+
+
+SQL_RETENTION_POLICY = f"""
+WITH {TOK_CTE},
+f AS (
+  SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+c AS (
+  SELECT doc_id, (pos - 1) // {BUCKET_COARSE} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+wm AS (SELECT doc_id, (MAX(bucket) + 1) * {BUCKET} AS wm FROM f GROUP BY 1),
+cut AS (
+  SELECT doc_id,
+         CAST(FLOOR((wm - {RET_HORIZON}) / {BUCKET_COARSE}.0)
+              * {BUCKET_COARSE} AS BIGINT) AS cutoff
+  FROM wm
+)
+SELECT f.doc_id, '1m' AS tier, CAST(f.bucket AS BIGINT) AS bucket,
+       cnt, sum_v, sumsq, min_v, max_v
+FROM f JOIN cut ON f.doc_id = cut.doc_id
+WHERE (f.bucket + 1) * {BUCKET} > cutoff
+UNION ALL
+SELECT c.doc_id, '1h' AS tier, CAST(c.bucket AS BIGINT) AS bucket,
+       cnt, sum_v, sumsq, min_v, max_v
+FROM c JOIN cut ON c.doc_id = cut.doc_id
+WHERE (c.bucket + 1) * {BUCKET_COARSE} <= cutoff
+"""
+
 
 def q_gapfill(spark, sf_dir):
     m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
@@ -3087,7 +3139,11 @@ def queries() -> dict:
         # sample_stratified / pack_sequences / decontamination past the
         # driver's 50-row window; those three are driver-green in
         # CORRECTNESS_r0{2,3,4}.json (last certified at commit 88e4125)
-        # and their code is unchanged this round.
+        # and their code is unchanged this round.  retention_policy's
+        # arrival additionally pushes corpus_curation (driver-green
+        # r2-r4, also last certified at 88e4125, unchanged) past the
+        # window.
+        "retention_policy": q_retention_policy,
         "dedup_ngram_capfire": q_dedup_ngram_capfire,
         "dedup_lsh_capfire": q_dedup_lsh_capfire,
         "decontamination_capfire": q_decontamination_capfire,
@@ -3167,6 +3223,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "retention_policy": SQL_RETENTION_POLICY,
         "dedup_ngram_capfire": SQL_DEDUP_NGRAM_CAPFIRE,
         "dedup_lsh_capfire": SQL_DEDUP_LSH_CAPFIRE,
         "decontamination_capfire": SQL_DECON_CAPFIRE,

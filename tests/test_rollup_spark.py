@@ -335,3 +335,46 @@ def test_matrix_profile_distributed_equalized_grid(spark):
         got = {(r.doc_id, r.off): (r.mp, r.nn_off)
                for r in matrix_profile_distributed(chars, 32, chunk_len=chunk_len).collect()}
         assert got == ref, chunk_len
+
+
+def test_retention_policy_partitions_offset_axis(spark, tokens):
+    """Retention serving view: the fine and coarse tiers must partition
+    each doc's offset axis exactly — sum(cnt) over served rows == n_tok,
+    no bucket served twice — and with synth docs (32..16384 tok) both
+    tiers must actually serve rows at a 256-token horizon."""
+    from matrixprofiler_spark.operators.rollup import (
+        cascade_tier,
+        finest_rollup,
+        retention_policy,
+    )
+
+    fine_sz, coarse_sz, horizon = 16, 64, 256
+    m1 = finest_rollup(tokens, fine_sz)
+    h1 = cascade_tier(m1, fine_sz, coarse_sz, "1h")
+    served = retention_policy(m1, h1, fine_sz, coarse_sz, horizon)
+
+    per_doc = (
+        served.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("served_tok"),
+            F.sum(F.when(F.col("tier") == "1h", 1).otherwise(0)).alias("n_coarse"),
+            F.sum(F.when(F.col("tier") == "1m", 1).otherwise(0)).alias("n_fine"),
+        )
+        .join(tokens.select("doc_id", "n_tok"), "doc_id")
+        .toPandas()
+    )
+    assert (per_doc["served_tok"] == per_doc["n_tok"]).all()
+    assert (per_doc["n_fine"] > 0).all()  # recent data always fine-tier
+    # long docs (> horizon + coarse) must have expired coarse-served rows
+    long_docs = per_doc[per_doc["n_tok"] >= horizon + 2 * coarse_sz]
+    assert len(long_docs) > 0 and (long_docs["n_coarse"] > 0).all()
+    # no offset served twice: fine buckets and coarse buckets disjoint
+    pdf = served.select("doc_id", "tier", "bucket", "cnt").toPandas()
+    for doc_id, g in pdf.groupby("doc_id"):
+        fine_pos = set()
+        for b in g[g["tier"] == "1m"]["bucket"]:
+            fine_pos.update(range(b * fine_sz, (b + 1) * fine_sz))
+        coarse_pos = set()
+        for b in g[g["tier"] == "1h"]["bucket"]:
+            coarse_pos.update(range(b * coarse_sz, (b + 1) * coarse_sz))
+        assert not (fine_pos & coarse_pos), doc_id
