@@ -412,21 +412,56 @@ def retention_policy(fine: DataFrame, coarse: DataFrame, fine_size: int,
     — hash-shuffled, no broadcast of any corpus-sized side, no skew (one
     wm row per doc). At 10^12 sequences this is strictly cheaper than
     the rollup that feeds it."""
-    wm = fine.groupBy("doc_id").agg(
+    return retention_policy_multi(
+        [(fine, fine_size), (coarse, coarse_size)], [horizon]
+    )
+
+
+def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
+    """N-tier retention serving view generalizing :func:`retention_policy`
+    to the full raw->1m->1h->1d cascade: ``tiers`` is a list of
+    ``(rollup_df, bucket_size)`` finest-first with nested sizes
+    (size[i+1] a multiple of size[i]); ``horizons`` gives, for each tier
+    but the last, the offset age beyond which that tier stops serving.
+
+    Tier ``i``'s expiry cutoff is ``wm - horizons[i]`` aligned DOWN to
+    tier ``i+1``'s bucket boundary, which makes every cutoff a bucket
+    boundary of BOTH adjacent tiers (nested sizes), so consecutive tiers
+    meet seamlessly. With ``horizons`` nondecreasing the cutoffs are
+    provably nonincreasing (align to a coarser grid of a smaller value
+    never lands higher), so tier i serves exactly
+    ``(cutoff[i], cutoff[i-1]]`` and the tiers partition the offset axis
+    — same invariant as the 2-tier view, property-tested for 3 tiers.
+
+    Scale shape identical to the 2-tier plan: one map-side-combinable
+    groupBy(doc_id) watermark over the FINEST rollup, then one doc_id
+    equi-join per tier; no corpus-sized broadcast, no skew."""
+    if len(tiers) < 2 or len(horizons) != len(tiers) - 1:
+        raise ValueError("need >=2 tiers and exactly len(tiers)-1 horizons")
+    sizes = [s for _, s in tiers]
+    for finer, coarser in zip(sizes, sizes[1:]):
+        if coarser % finer:
+            raise ValueError(f"tier sizes must nest: {coarser} % {finer} != 0")
+    if any(b < a for a, b in zip(horizons, horizons[1:])):
+        raise ValueError("horizons must be nondecreasing finest-first")
+
+    fine_df, fine_size = tiers[0]
+    wm = fine_df.groupBy("doc_id").agg(
         ((F.max("bucket") + 1) * fine_size).alias("wm")
     )
-    # align the cutoff down to a coarse boundary; may go negative for
-    # short docs (then nothing is expired and the coarse tier serves 0)
-    cutoff = (F.floor((F.col("wm") - F.lit(horizon)) / coarse_size)
-              * coarse_size).cast("long")
-    keep_fine = (
-        fine.join(wm, "doc_id")
-        .where((F.col("bucket") + 1) * fine_size > cutoff)
-        .drop("wm")
-    )
-    keep_coarse = (
-        coarse.join(wm, "doc_id")
-        .where((F.col("bucket") + 1) * coarse_size <= cutoff)
-        .drop("wm")
-    )
-    return keep_fine.unionByName(keep_coarse)
+    cutoffs = [
+        (F.floor((F.col("wm") - F.lit(h)) / sizes[i + 1]) * sizes[i + 1])
+        .cast("long")
+        for i, h in enumerate(horizons)
+    ]
+    served = []
+    for i, (df, size) in enumerate(tiers):
+        end = (F.col("bucket") + 1) * size
+        cond = F.lit(True) if i == len(tiers) - 1 else end > cutoffs[i]
+        if i > 0:
+            cond = cond & (end <= cutoffs[i - 1])
+        served.append(df.join(wm, "doc_id").where(cond).drop("wm"))
+    out = served[0]
+    for s in served[1:]:
+        out = out.unionByName(s)
+    return out

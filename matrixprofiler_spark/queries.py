@@ -173,6 +173,75 @@ WHERE (c.bucket + 1) * {BUCKET_COARSE} <= cutoff
 """
 
 
+def q_retention_tiers_3(spark, sf_dir):
+    """Three-tier retention serving view over the nested 16/32/64 cascade
+    (labels 1m/2m/4m): offsets newer than 16 at the finest tier, 16..32
+    at the middle tier, older only at the coarsest — cutoffs aligned to
+    the next-coarser bucket grid so consecutive tiers meet seamlessly."""
+    from .operators.rollup import retention_policy_multi
+
+    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
+    m2 = cascade_tier(m1, BUCKET, 2 * BUCKET, "2m")
+    m4 = cascade_tier(m1, BUCKET, 4 * BUCKET, "4m")
+    served = retention_policy_multi(
+        [(m1, BUCKET), (m2, 2 * BUCKET), (m4, 4 * BUCKET)],
+        [BUCKET, 2 * BUCKET],
+    )
+    return served.select(
+        "doc_id", "tier", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v"
+    )
+
+
+SQL_RETENTION_TIERS_3 = f"""
+WITH {TOK_CTE},
+f AS (
+  SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_id, (pos - 1) // {2 * BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+c AS (
+  SELECT doc_id, (pos - 1) // {4 * BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+wm AS (SELECT doc_id, (MAX(bucket) + 1) * {BUCKET} AS wm FROM f GROUP BY 1),
+cut AS (
+  SELECT doc_id,
+         CAST(FLOOR((wm - {BUCKET}) / {2 * BUCKET}.0)
+              * {2 * BUCKET} AS BIGINT) AS cut0,
+         CAST(FLOOR((wm - {2 * BUCKET}) / {4 * BUCKET}.0)
+              * {4 * BUCKET} AS BIGINT) AS cut1
+  FROM wm
+)
+SELECT f.doc_id, '1m' AS tier, CAST(f.bucket AS BIGINT) AS bucket,
+       cnt, sum_v, sumsq, min_v, max_v
+FROM f JOIN cut ON f.doc_id = cut.doc_id
+WHERE (f.bucket + 1) * {BUCKET} > cut0
+UNION ALL
+SELECT m.doc_id, '2m' AS tier, CAST(m.bucket AS BIGINT) AS bucket,
+       cnt, sum_v, sumsq, min_v, max_v
+FROM m JOIN cut ON m.doc_id = cut.doc_id
+WHERE (m.bucket + 1) * {2 * BUCKET} > cut1
+  AND (m.bucket + 1) * {2 * BUCKET} <= cut0
+UNION ALL
+SELECT c.doc_id, '4m' AS tier, CAST(c.bucket AS BIGINT) AS bucket,
+       cnt, sum_v, sumsq, min_v, max_v
+FROM c JOIN cut ON c.doc_id = cut.doc_id
+WHERE (c.bucket + 1) * {4 * BUCKET} <= cut1
+"""
+
+
 def q_gapfill(spark, sf_dir):
     m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
     holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3)
@@ -3142,8 +3211,11 @@ def queries() -> dict:
         # and their code is unchanged this round.  retention_policy's
         # arrival additionally pushes corpus_curation (driver-green
         # r2-r4, also last certified at 88e4125, unchanged) past the
-        # window.
+        # window.  retention_tiers_3 (the N-tier generalization) pushes
+        # bigram_commonness (driver-green r2-r4, certified 88e4125,
+        # unchanged) out as well.
         "retention_policy": q_retention_policy,
+        "retention_tiers_3": q_retention_tiers_3,
         "dedup_ngram_capfire": q_dedup_ngram_capfire,
         "dedup_lsh_capfire": q_dedup_lsh_capfire,
         "decontamination_capfire": q_decontamination_capfire,
@@ -3224,6 +3296,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "retention_policy": SQL_RETENTION_POLICY,
+        "retention_tiers_3": SQL_RETENTION_TIERS_3,
         "dedup_ngram_capfire": SQL_DEDUP_NGRAM_CAPFIRE,
         "dedup_lsh_capfire": SQL_DEDUP_LSH_CAPFIRE,
         "decontamination_capfire": SQL_DECON_CAPFIRE,

@@ -378,3 +378,40 @@ def test_retention_policy_partitions_offset_axis(spark, tokens):
         for b in g[g["tier"] == "1h"]["bucket"]:
             coarse_pos.update(range(b * coarse_sz, (b + 1) * coarse_sz))
         assert not (fine_pos & coarse_pos), doc_id
+
+
+def test_retention_policy_multi_three_tiers(spark, tokens):
+    """N-tier serving view: with nested 16/32/64 tiers and horizons
+    (64, 256) the three tiers must partition each doc's offset axis
+    (sum(cnt)==n_tok), all three must serve rows somewhere on the synth
+    corpus, and invalid configurations must be rejected."""
+    import pytest as _pytest
+
+    from matrixprofiler_spark.operators.rollup import (
+        cascade_tier,
+        finest_rollup,
+        retention_policy_multi,
+    )
+
+    m1 = finest_rollup(tokens, 16)
+    m2 = cascade_tier(m1, 16, 32, "2m")
+    m4 = cascade_tier(m1, 16, 64, "4m")
+    tiers = [(m1, 16), (m2, 32), (m4, 64)]
+    served = retention_policy_multi(tiers, [64, 256])
+
+    per_doc = (
+        served.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("served_tok"))
+        .join(tokens.select("doc_id", "n_tok"), "doc_id")
+        .toPandas()
+    )
+    assert (per_doc["served_tok"] == per_doc["n_tok"]).all()
+    tiers_seen = {r["tier"] for r in served.select("tier").distinct().collect()}
+    assert tiers_seen == {"1m", "2m", "4m"}
+
+    with _pytest.raises(ValueError, match="nest"):
+        retention_policy_multi([(m1, 16), (m2, 24)], [64])
+    with _pytest.raises(ValueError, match="nondecreasing"):
+        retention_policy_multi(tiers, [256, 64])
+    with _pytest.raises(ValueError, match="horizons"):
+        retention_policy_multi(tiers, [64])
