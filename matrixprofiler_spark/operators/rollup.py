@@ -435,7 +435,12 @@ def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
 
     Scale shape identical to the 2-tier plan: one map-side-combinable
     groupBy(doc_id) watermark over the FINEST rollup, then one doc_id
-    equi-join per tier; no corpus-sized broadcast, no skew."""
+    equi-join per tier; no corpus-sized broadcast, no skew.
+
+    Contract: every coarser tier must be derived from the finest one
+    (``cascade_tier``), so each doc in any tier has a watermark row —
+    the inner joins would silently drop a doc present only in a coarser
+    tier."""
     if len(tiers) < 2 or len(horizons) != len(tiers) - 1:
         raise ValueError("need >=2 tiers and exactly len(tiers)-1 horizons")
     sizes = [s for _, s in tiers]
