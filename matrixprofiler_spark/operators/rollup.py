@@ -470,3 +470,108 @@ def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
     for s in served[1:]:
         out = out.unionByName(s)
     return out
+
+
+def gap_fill_locf(rollup: DataFrame, spine: DataFrame | None = None) -> DataFrame:
+    """LOCF gap fill (TimescaleDB ``locf()``): missing buckets carry the
+    LAST observed bucket's aggregates forward instead of zero-filling;
+    holes before the first observation stay NULL (nothing to carry).
+
+    Same generated spine + equi-join as :func:`gap_fill`, then one
+    ``last(..., ignorenulls=True)`` running window per carried column —
+    partitioned by (doc, tier), ordered by bucket, so the sort is per-doc
+    over ROLLUP rows (already thousands-to-one reduced from raw tokens);
+    no second shuffle beyond the window's own. ``mean_locf`` is derived
+    AFTER the carry with the same ``sum/cnt`` expression both engines
+    compute, so it stays bit-comparable."""
+    from pyspark.sql import Window
+
+    if spine is None:
+        spine = (
+            rollup.groupBy("doc_id", "source", "tier")
+            .agg(F.max("bucket").alias("max_bucket"))
+            .select(
+                "doc_id", "source", "tier",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.col("max_bucket"))
+                ).alias("bucket"),
+            )
+        )
+    joined = (
+        spine.join(rollup, ["doc_id", "source", "tier", "bucket"], "left")
+        .withColumn("filled", F.col("cnt").isNull())
+    )
+    w = (
+        Window.partitionBy("doc_id", "source", "tier")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined
+    for c in ("cnt", "sum_v"):
+        out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    return out.withColumn(
+        "mean_locf", F.col("sum_v_locf") / F.col("cnt_locf")
+    )
+
+
+def gap_fill_interpolate(rollup: DataFrame,
+                         spine: DataFrame | None = None) -> DataFrame:
+    """Linear-interpolation gap fill (TimescaleDB ``interpolate()``):
+    each hole gets the straight line between the nearest observed bucket
+    before and after it; holes with no observation on either side
+    (leading/trailing) stay NULL. Observed buckets keep their exact
+    ``sum/cnt`` mean.
+
+    Plan shape: the same generated spine + equi-join as
+    :func:`gap_fill`, then two running windows per (doc, tier) — a
+    backward ``last(ignorenulls)`` and a forward ``first(ignorenulls)``
+    for the bracketing values and their bucket ids; the interpolation
+    itself is one JVM-side arithmetic expression (whole-stage codegen),
+    written with the exact operation order the DuckDB oracle uses so the
+    doubles are bit-comparable."""
+    from pyspark.sql import Window
+
+    if spine is None:
+        spine = (
+            rollup.groupBy("doc_id", "source", "tier")
+            .agg(F.max("bucket").alias("max_bucket"))
+            .select(
+                "doc_id", "source", "tier",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.col("max_bucket"))
+                ).alias("bucket"),
+            )
+        )
+    joined = (
+        spine.join(rollup, ["doc_id", "source", "tier", "bucket"], "left")
+        .withColumn("filled", F.col("cnt").isNull())
+        .withColumn("v", F.col("sum_v") / F.col("cnt"))
+    )
+    back = (
+        Window.partitionBy("doc_id", "source", "tier")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("doc_id", "source", "tier")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    out = (
+        joined
+        .withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("pb", F.last(obs_bucket, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nb", F.first(obs_bucket, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(~F.col("filled"), F.col("v"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("bucket") - F.col("pb")) / (F.col("nb") - F.col("pb")))
+        )
+    )
+    return out.withColumn("v_interp", interp).drop("pv", "pb", "nv", "nb", "v")

@@ -266,6 +266,137 @@ FROM spine s LEFT JOIN r ON s.doc_id = r.doc_id AND s.bucket = r.bucket
 """
 
 
+def q_gapfill_locf(spark, sf_dir):
+    """LOCF gap fill (TimescaleDB locf()): holes carry the LAST observed
+    bucket's aggregates forward instead of zero-filling; mean derived
+    after the carry with the shared sum/cnt expression."""
+    from .operators.rollup import gap_fill_locf
+
+    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
+    holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3)
+    filled = gap_fill_locf(holey)
+    return filled.select(
+        "doc_id", "bucket", "filled", "cnt_locf", "sum_v_locf", "mean_locf"
+    )
+
+
+SQL_GAPFILL_LOCF = f"""
+WITH {TOK_CTE},
+r AS (
+  SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v
+  FROM pos GROUP BY 1, 2
+  HAVING (bucket % 5) != 3
+),
+mx AS (SELECT doc_id, MAX(bucket) AS mb FROM r GROUP BY 1),
+spine AS (SELECT doc_id, UNNEST(range(0, mb + 1)) AS bucket FROM mx),
+j AS (
+  SELECT s.doc_id, CAST(s.bucket AS BIGINT) AS bucket,
+         r.doc_id IS NULL AS filled, r.cnt, r.sum_v
+  FROM spine s LEFT JOIN r ON s.doc_id = r.doc_id AND s.bucket = r.bucket
+),
+locf AS (
+  SELECT doc_id, bucket, filled,
+         last_value(cnt IGNORE NULLS) OVER w AS cnt_locf,
+         last_value(sum_v IGNORE NULLS) OVER w AS sum_v_locf
+  FROM j
+  WINDOW w AS (PARTITION BY doc_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, bucket, filled, cnt_locf, sum_v_locf,
+       sum_v_locf / cnt_locf AS mean_locf
+FROM locf
+"""
+
+
+def q_gapfill_interp(spark, sf_dir):
+    """Linear-interpolation gap fill (TimescaleDB interpolate()): holes
+    get the straight line between the bracketing observed buckets'
+    means; unbracketed holes stay NULL."""
+    from .operators.rollup import gap_fill_interpolate
+
+    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
+    holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3)
+    filled = gap_fill_interpolate(holey)
+    return filled.select("doc_id", "bucket", "filled", "v_interp")
+
+
+SQL_GAPFILL_INTERP = f"""
+WITH {TOK_CTE},
+r AS (
+  SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v
+  FROM pos GROUP BY 1, 2
+  HAVING (bucket % 5) != 3
+),
+mx AS (SELECT doc_id, MAX(bucket) AS mb FROM r GROUP BY 1),
+spine AS (SELECT doc_id, UNNEST(range(0, mb + 1)) AS bucket FROM mx),
+j AS (
+  SELECT s.doc_id, CAST(s.bucket AS BIGINT) AS bucket,
+         r.doc_id IS NULL AS filled, r.sum_v / r.cnt AS v
+  FROM spine s LEFT JOIN r ON s.doc_id = r.doc_id AND s.bucket = r.bucket
+),
+br AS (
+  SELECT doc_id, bucket, filled, v,
+         last_value(v IGNORE NULLS) OVER back AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+             OVER back AS pb,
+         first_value(v IGNORE NULLS) OVER fwd AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+             OVER fwd AS nb
+  FROM j
+  WINDOW back AS (PARTITION BY doc_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY doc_id ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, bucket, filled,
+       CASE WHEN NOT filled THEN v
+            WHEN pv IS NULL OR nv IS NULL THEN NULL
+            ELSE pv + (nv - pv) * ((bucket - pb) / (nb - pb))
+       END AS v_interp
+FROM br
+"""
+
+
+def q_downsample_m4(spark, sf_dir):
+    """M4 downsample per 64-offset bucket (the dashboard-standard
+    min/max/first/last projection; extends the minmax face with the
+    bucket's first and last points): one map-side-combinable aggregation
+    — lexicographic struct min/max on (offset, value) give the first and
+    last points without any window sort."""
+    t = _tok(spark, sf_dir)
+    p = t.select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "tok")
+    ).withColumn("bucket", (F.col("pos0") / BUCKET_COARSE).cast("long"))
+    agg = p.groupBy("doc_id", "bucket").agg(
+        F.min(F.struct("pos0", "tok")).alias("fi"),
+        F.max(F.struct("pos0", "tok")).alias("la"),
+        F.min("tok").alias("min_v"),
+        F.max("tok").alias("max_v"),
+    )
+    return agg.select(
+        "doc_id", "bucket",
+        F.col("fi.pos0").cast("int").alias("first_off"),
+        F.col("fi.tok").alias("first_v"),
+        "min_v", "max_v",
+        F.col("la.pos0").cast("int").alias("last_off"),
+        F.col("la.tok").alias("last_v"),
+    )
+
+
+SQL_DOWNSAMPLE_M4 = f"""
+WITH {TOK_CTE}
+SELECT doc_id, (pos - 1) // {BUCKET_COARSE} AS bucket,
+       CAST(MIN(pos - 1) AS INT) AS first_off,
+       arg_min(tok, pos) AS first_v,
+       MIN(tok) AS min_v, MAX(tok) AS max_v,
+       CAST(MAX(pos - 1) AS INT) AS last_off,
+       arg_max(tok, pos) AS last_v
+FROM pos GROUP BY 1, 2
+"""
+
+
 def q_downsample_minmax(spark, sf_dir):
     """Spike-preserving min/max downsample per 64-offset bucket (what a
     dashboard reads from a retention tier): each bucket keeps its min and
@@ -3208,14 +3339,17 @@ def queries() -> dict:
         # sample_stratified / pack_sequences / decontamination past the
         # driver's 50-row window; those three are driver-green in
         # CORRECTNESS_r0{2,3,4}.json (last certified at commit 88e4125)
-        # and their code is unchanged this round.  retention_policy's
-        # arrival additionally pushes corpus_curation (driver-green
-        # r2-r4, also last certified at 88e4125, unchanged) past the
-        # window.  retention_tiers_3 (the N-tier generalization) pushes
-        # bigram_commonness (driver-green r2-r4, certified 88e4125,
-        # unchanged) out as well.
+        # and their code is unchanged this round.  The five retention /
+        # gap-fill / downsample faces below additionally displace
+        # ann_srp_buckets, ann_srp_pairs, doc_repetition,
+        # bigram_commonness and corpus_curation (all driver-green r2-r4,
+        # last certified at commit 88e4125, code unchanged this round)
+        # past the window.
         "retention_policy": q_retention_policy,
         "retention_tiers_3": q_retention_tiers_3,
+        "gapfill_locf": q_gapfill_locf,
+        "gapfill_interp": q_gapfill_interp,
+        "downsample_m4": q_downsample_m4,
         "dedup_ngram_capfire": q_dedup_ngram_capfire,
         "dedup_lsh_capfire": q_dedup_lsh_capfire,
         "decontamination_capfire": q_decontamination_capfire,
@@ -3297,6 +3431,9 @@ def oracle_sql() -> dict:
     return {
         "retention_policy": SQL_RETENTION_POLICY,
         "retention_tiers_3": SQL_RETENTION_TIERS_3,
+        "gapfill_locf": SQL_GAPFILL_LOCF,
+        "gapfill_interp": SQL_GAPFILL_INTERP,
+        "downsample_m4": SQL_DOWNSAMPLE_M4,
         "dedup_ngram_capfire": SQL_DEDUP_NGRAM_CAPFIRE,
         "dedup_lsh_capfire": SQL_DEDUP_LSH_CAPFIRE,
         "decontamination_capfire": SQL_DECON_CAPFIRE,

