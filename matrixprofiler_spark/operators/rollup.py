@@ -322,6 +322,29 @@ def spine_from_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
     )
 
 
+def _spine_and_join(rollup: DataFrame,
+                    spine: DataFrame | None) -> DataFrame:
+    """Shared gap-fill prologue: the dense bucket spine [0, max_bucket]
+    per (doc_id, source, tier) (generated, never shuffled raw) left-joined
+    with the observed buckets, holes flagged via ``filled``. All three
+    fill policies (zero / locf / interpolate) layer on this frame."""
+    if spine is None:
+        spine = (
+            rollup.groupBy("doc_id", "source", "tier")
+            .agg(F.max("bucket").alias("max_bucket"))
+            .select(
+                "doc_id", "source", "tier",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.col("max_bucket"))
+                ).alias("bucket"),
+            )
+        )
+    return (
+        spine.join(rollup, ["doc_id", "source", "tier", "bucket"], "left")
+        .withColumn("filled", F.col("cnt").isNull())
+    )
+
+
 def gap_fill(rollup: DataFrame, spine: DataFrame | None = None) -> DataFrame:
     """Per-doc offset-spine gap fill: build the dense bucket spine
     [0, max_bucket] per (doc_id, tier) with ``F.sequence`` + explode, left
@@ -331,21 +354,9 @@ def gap_fill(rollup: DataFrame, spine: DataFrame | None = None) -> DataFrame:
     broadcast by size; the spine is generated, never shuffled raw. Pass a
     precomputed ``spine`` (e.g. spine_from_tokens) to skip the max-bucket
     aggregation when doc lengths are already known."""
-    if spine is None:
-        spine = (
-            rollup.groupBy("doc_id", "source", "tier")
-            .agg(F.max("bucket").alias("max_bucket"))
-            .select(
-                "doc_id", "source", "tier",
-                F.explode(F.sequence(F.lit(0).cast("long"), F.col("max_bucket"))).alias("bucket"),
-            )
-        )
-    filled = (
-        spine.join(rollup, ["doc_id", "source", "tier", "bucket"], "left")
-        .withColumn("filled", F.col("cnt").isNull())
-        .fillna({"cnt": 0, "sum_v": 0, "sumsq": 0})
+    return _spine_and_join(rollup, spine).fillna(
+        {"cnt": 0, "sum_v": 0, "sumsq": 0}
     )
-    return filled
 
 
 TIER_BLOBS_SCHEMA = T.StructType(
@@ -407,8 +418,8 @@ def retention_policy(fine: DataFrame, coarse: DataFrame, fine_size: int,
     tier (no double-serving across the seam, no gap; property-tested:
     sum(cnt) over served rows == n_tok per doc).
 
-    Scale: the watermark is one map-side-combinable groupBy(doc_id) over
-    the fine rollup (not the raw tokens) followed by equi-joins on doc_id
+    Scale: the watermark is one map-side-combinable groupBy(doc_id, source)
+    over the fine rollup (not the raw tokens) followed by equi-joins on it
     — hash-shuffled, no broadcast of any corpus-sized side, no skew (one
     wm row per doc). At 10^12 sequences this is strictly cheaper than
     the rollup that feeds it."""
@@ -434,8 +445,9 @@ def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
     — same invariant as the 2-tier view, property-tested for 3 tiers.
 
     Scale shape identical to the 2-tier plan: one map-side-combinable
-    groupBy(doc_id) watermark over the FINEST rollup, then one doc_id
-    equi-join per tier; no corpus-sized broadcast, no skew.
+    groupBy(doc_id, source) watermark over the FINEST rollup, then one
+    equi-join per tier on the same keys; no corpus-sized broadcast, no
+    skew.
 
     Contract: every coarser tier must be derived from the finest one
     (``cascade_tier``), so each doc in any tier has a watermark row —
@@ -447,11 +459,17 @@ def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
     for finer, coarser in zip(sizes, sizes[1:]):
         if coarser % finer:
             raise ValueError(f"tier sizes must nest: {coarser} % {finer} != 0")
+    if any(h < 0 for h in horizons):
+        # a negative horizon would place the cutoff past the watermark,
+        # silently starving the fine tier — reject like the other misconfigs
+        raise ValueError("horizons must be nonnegative")
     if any(b < a for a, b in zip(horizons, horizons[1:])):
         raise ValueError("horizons must be nondecreasing finest-first")
 
     fine_df, fine_size = tiers[0]
-    wm = fine_df.groupBy("doc_id").agg(
+    # watermark at the doc-identity grain (doc_id, source) — same doc_id
+    # under two sources must not see each other's high-water offset
+    wm = fine_df.groupBy("doc_id", "source").agg(
         ((F.max("bucket") + 1) * fine_size).alias("wm")
     )
     cutoffs = [
@@ -465,7 +483,9 @@ def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
         cond = F.lit(True) if i == len(tiers) - 1 else end > cutoffs[i]
         if i > 0:
             cond = cond & (end <= cutoffs[i - 1])
-        served.append(df.join(wm, "doc_id").where(cond).drop("wm"))
+        served.append(
+            df.join(wm, ["doc_id", "source"]).where(cond).drop("wm")
+        )
     out = served[0]
     for s in served[1:]:
         out = out.unionByName(s)
@@ -486,21 +506,7 @@ def gap_fill_locf(rollup: DataFrame, spine: DataFrame | None = None) -> DataFram
     compute, so it stays bit-comparable."""
     from pyspark.sql import Window
 
-    if spine is None:
-        spine = (
-            rollup.groupBy("doc_id", "source", "tier")
-            .agg(F.max("bucket").alias("max_bucket"))
-            .select(
-                "doc_id", "source", "tier",
-                F.explode(
-                    F.sequence(F.lit(0).cast("long"), F.col("max_bucket"))
-                ).alias("bucket"),
-            )
-        )
-    joined = (
-        spine.join(rollup, ["doc_id", "source", "tier", "bucket"], "left")
-        .withColumn("filled", F.col("cnt").isNull())
-    )
+    joined = _spine_and_join(rollup, spine)
     w = (
         Window.partitionBy("doc_id", "source", "tier")
         .orderBy("bucket")
@@ -531,21 +537,8 @@ def gap_fill_interpolate(rollup: DataFrame,
     doubles are bit-comparable."""
     from pyspark.sql import Window
 
-    if spine is None:
-        spine = (
-            rollup.groupBy("doc_id", "source", "tier")
-            .agg(F.max("bucket").alias("max_bucket"))
-            .select(
-                "doc_id", "source", "tier",
-                F.explode(
-                    F.sequence(F.lit(0).cast("long"), F.col("max_bucket"))
-                ).alias("bucket"),
-            )
-        )
-    joined = (
-        spine.join(rollup, ["doc_id", "source", "tier", "bucket"], "left")
-        .withColumn("filled", F.col("cnt").isNull())
-        .withColumn("v", F.col("sum_v") / F.col("cnt"))
+    joined = _spine_and_join(rollup, spine).withColumn(
+        "v", F.col("sum_v") / F.col("cnt")
     )
     back = (
         Window.partitionBy("doc_id", "source", "tier")
@@ -575,3 +568,28 @@ def gap_fill_interpolate(rollup: DataFrame,
         )
     )
     return out.withColumn("v_interp", interp).drop("pv", "pb", "nv", "nb", "v")
+
+
+def downsample_m4(tokens_df: DataFrame, bucket_size: int) -> DataFrame:
+    """M4 downsample: first/min/max/last point per offset bucket — the
+    dashboard-standard projection that preserves a series' visual shape.
+    ONE map-side-combinable aggregation: lexicographic struct min/max on
+    (offset, value) yield the first and last points with no window sort
+    (offsets are unique within a doc, so the structs are deterministic)."""
+    p = tokens_df.select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "tok")
+    ).withColumn("bucket", (F.col("pos0") / bucket_size).cast("long"))
+    agg = p.groupBy("doc_id", "bucket").agg(
+        F.min(F.struct("pos0", "tok")).alias("fi"),
+        F.max(F.struct("pos0", "tok")).alias("la"),
+        F.min("tok").alias("min_v"),
+        F.max("tok").alias("max_v"),
+    )
+    return agg.select(
+        "doc_id", "bucket",
+        F.col("fi.pos0").cast("int").alias("first_off"),
+        F.col("fi.tok").alias("first_v"),
+        "min_v", "max_v",
+        F.col("la.pos0").cast("int").alias("last_off"),
+        F.col("la.tok").alias("last_v"),
+    )

@@ -130,7 +130,9 @@ def q_retention_policy(spark, sf_dir):
     offset axis; TimescaleDB drop_chunks + real-time aggregate analog)."""
     from .operators.rollup import retention_policy
 
-    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
+    # persist: wm + fine-served + cascade branches all read m1; without
+    # the cache the raw-token Arrow kernel would run once per branch
+    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET).persist()
     h1 = cascade_tier(m1, BUCKET, BUCKET_COARSE, "1h")
     served = retention_policy(m1, h1, BUCKET, BUCKET_COARSE, RET_HORIZON)
     return served.select(
@@ -180,7 +182,7 @@ def q_retention_tiers_3(spark, sf_dir):
     the next-coarser bucket grid so consecutive tiers meet seamlessly."""
     from .operators.rollup import retention_policy_multi
 
-    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
+    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET).persist()
     m2 = cascade_tier(m1, BUCKET, 2 * BUCKET, "2m")
     m4 = cascade_tier(m1, BUCKET, 4 * BUCKET, "4m")
     served = retention_policy_multi(
@@ -273,7 +275,7 @@ def q_gapfill_locf(spark, sf_dir):
     from .operators.rollup import gap_fill_locf
 
     m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
-    holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3)
+    holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3).persist()
     filled = gap_fill_locf(holey)
     return filled.select(
         "doc_id", "bucket", "filled", "cnt_locf", "sum_v_locf", "mean_locf"
@@ -316,7 +318,7 @@ def q_gapfill_interp(spark, sf_dir):
     from .operators.rollup import gap_fill_interpolate
 
     m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
-    holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3)
+    holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3).persist()
     filled = gap_fill_interpolate(holey)
     return filled.select("doc_id", "bucket", "filled", "v_interp")
 
@@ -362,27 +364,11 @@ FROM br
 def q_downsample_m4(spark, sf_dir):
     """M4 downsample per 64-offset bucket (the dashboard-standard
     min/max/first/last projection; extends the minmax face with the
-    bucket's first and last points): one map-side-combinable aggregation
-    — lexicographic struct min/max on (offset, value) give the first and
-    last points without any window sort."""
-    t = _tok(spark, sf_dir)
-    p = t.select(
-        "doc_id", F.posexplode("tokens").alias("pos0", "tok")
-    ).withColumn("bucket", (F.col("pos0") / BUCKET_COARSE).cast("long"))
-    agg = p.groupBy("doc_id", "bucket").agg(
-        F.min(F.struct("pos0", "tok")).alias("fi"),
-        F.max(F.struct("pos0", "tok")).alias("la"),
-        F.min("tok").alias("min_v"),
-        F.max("tok").alias("max_v"),
-    )
-    return agg.select(
-        "doc_id", "bucket",
-        F.col("fi.pos0").cast("int").alias("first_off"),
-        F.col("fi.tok").alias("first_v"),
-        "min_v", "max_v",
-        F.col("la.pos0").cast("int").alias("last_off"),
-        F.col("la.tok").alias("last_v"),
-    )
+    bucket's first and last points) — see
+    operators/rollup.py:downsample_m4 for the single-aggregation plan."""
+    from .operators.rollup import downsample_m4
+
+    return downsample_m4(_tok(spark, sf_dir), BUCKET_COARSE)
 
 
 SQL_DOWNSAMPLE_M4 = f"""

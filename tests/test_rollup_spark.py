@@ -415,6 +415,8 @@ def test_retention_policy_multi_three_tiers(spark, tokens):
         retention_policy_multi(tiers, [256, 64])
     with _pytest.raises(ValueError, match="horizons"):
         retention_policy_multi(tiers, [64])
+    with _pytest.raises(ValueError, match="nonnegative"):
+        retention_policy_multi(tiers, [-16, 64])
 
 
 def test_gap_fill_locf_semantics(spark):
@@ -446,28 +448,62 @@ def test_gap_fill_locf_semantics(spark):
 
 
 def test_downsample_m4_matches_numpy(spark, tokens):
-    """M4 per 64-bucket == numpy first/min/max/last on the raw arrays."""
+    """The PRODUCTION M4 operator per 64-bucket == numpy
+    first/min/max/last (and their offsets) on the raw arrays."""
     import numpy as np
 
-    docs = {r.doc_id: np.asarray(r.tokens) for r in tokens.limit(6).collect()}
-    from matrixprofiler_spark.queries import q_downsample_m4  # noqa: F401
-    from pyspark.sql import functions as F
+    from matrixprofiler_spark.operators.rollup import downsample_m4
 
+    docs = {r.doc_id: np.asarray(r.tokens) for r in tokens.limit(6).collect()}
     t = tokens.filter(F.col("doc_id").isin(list(docs)))
-    p = t.select("doc_id", F.posexplode("tokens").alias("pos0", "tok")) \
-         .withColumn("bucket", (F.col("pos0") / 64).cast("long"))
-    agg = p.groupBy("doc_id", "bucket").agg(
-        F.min(F.struct("pos0", "tok")).alias("fi"),
-        F.max(F.struct("pos0", "tok")).alias("la"),
-        F.min("tok").alias("min_v"), F.max("tok").alias("max_v"))
-    got = {(r.doc_id, r.bucket): (r.fi.tok, r.min_v, r.max_v, r.la.tok)
-           for r in agg.collect()}
+    got = {
+        (r.doc_id, r.bucket): (
+            r.first_off, r.first_v, r.min_v, r.max_v, r.last_off, r.last_v
+        )
+        for r in downsample_m4(t, 64).collect()
+    }
+    n_buckets = 0
     for doc_id, x in docs.items():
         for b in range((len(x) + 63) // 64):
             seg = x[b * 64:(b + 1) * 64]
+            lo, hi = b * 64, b * 64 + len(seg) - 1
             assert got[(doc_id, b)] == (
-                int(seg[0]), int(seg.min()), int(seg.max()), int(seg[-1])
+                lo, int(seg[0]), int(seg.min()), int(seg.max()),
+                hi, int(seg[-1]),
             ), (doc_id, b)
+            n_buckets += 1
+    assert len(got) == n_buckets
+
+
+def test_retention_watermark_is_per_doc_and_source(spark):
+    """Two sources sharing a doc_id must each use their OWN watermark —
+    the short source's recent buckets stay fine-tier even when the long
+    source's watermark would expire them."""
+    from matrixprofiler_spark.operators.rollup import (
+        cascade_tier,
+        retention_policy,
+    )
+
+    rows = []
+    # source A: 8 fine buckets (wm=128); source B: 2 fine buckets (wm=32)
+    for b in range(8):
+        rows.append(("d", "A", "1m", b, 16, 16, 16, 1, 1))
+    for b in range(2):
+        rows.append(("d", "B", "1m", b, 16, 16, 16, 1, 1))
+    fine = spark.createDataFrame(
+        rows, "doc_id string, source string, tier string, bucket long, "
+              "cnt long, sum_v long, sumsq long, min_v int, max_v int")
+    coarse = cascade_tier(fine, 16, 64, "1h")
+    served = retention_policy(fine, coarse, 16, 64, horizon=32)
+    pdf = served.toPandas()
+    # source A: cutoff = floor((128-32)/64)*64 = 64 -> bucket 0 of 1h
+    a = pdf[pdf.source == "A"]
+    assert set(a[a.tier == "1h"].bucket) == {0}
+    assert set(a[a.tier == "1m"].bucket) == {4, 5, 6, 7}
+    # source B: cutoff = floor((32-32)/64)*64 = 0 -> all fine, no coarse
+    b_ = pdf[pdf.source == "B"]
+    assert len(b_[b_.tier == "1h"]) == 0
+    assert set(b_[b_.tier == "1m"].bucket) == {0, 1}
 
 
 def test_gap_fill_interpolate_semantics(spark):
