@@ -535,3 +535,66 @@ def test_gap_fill_interpolate_semantics(spark):
     assert out[("b", 1)] == (True, None)
     assert out[("b", 2)] == (False, 2.0)
     assert len(out) == 8
+
+
+def test_gap_fill_variants_match_numpy_model(spark):
+    """Randomized equivalence: 30 docs with random lengths and random
+    hole patterns, ONE Spark round-trip per variant, checked against a
+    straightforward numpy model of zero-fill, LOCF and interpolation."""
+    import numpy as np
+
+    from matrixprofiler_spark.operators.rollup import (
+        gap_fill,
+        gap_fill_interpolate,
+        gap_fill_locf,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=7, counter=[0, 0, 0, 0]))
+    rows, model = [], {}
+    for d in range(30):
+        doc = f"d{d:02d}"
+        n = int(rng.integers(1, 12))          # spine length
+        observed = sorted(rng.choice(n, size=int(rng.integers(1, n + 1)),
+                                     replace=False).tolist())
+        if (n - 1) not in observed:
+            observed.append(n - 1)            # pin the spine's max bucket
+        vals = {b: (int(rng.integers(1, 5)), int(rng.integers(0, 1000)))
+                for b in observed}            # bucket -> (cnt, sum_v)
+        for b, (c, sv) in vals.items():
+            rows.append((doc, "web", "1m", b, c, sv, 0, 0, 0))
+        model[doc] = (n, vals)
+    roll = spark.createDataFrame(
+        rows, "doc_id string, source string, tier string, bucket long, "
+              "cnt long, sum_v long, sumsq long, min_v int, max_v int")
+
+    zero = {(r.doc_id, r.bucket): (r.filled, r.cnt, r.sum_v)
+            for r in gap_fill(roll).collect()}
+    locf = {(r.doc_id, r.bucket): (r.cnt_locf, r.sum_v_locf)
+            for r in gap_fill_locf(roll).collect()}
+    interp = {(r.doc_id, r.bucket): r.v_interp
+              for r in gap_fill_interpolate(roll).collect()}
+    assert len(zero) == len(locf) == len(interp) == sum(
+        n for n, _ in model.values())
+
+    for doc, (n, vals) in model.items():
+        obs = sorted(vals)
+        for b in range(n):
+            if b in vals:
+                c, sv = vals[b]
+                assert zero[(doc, b)] == (False, c, sv)
+                assert locf[(doc, b)] == (c, sv)
+                assert interp[(doc, b)] == sv / c
+                continue
+            assert zero[(doc, b)] == (True, 0, 0)
+            prevs = [o for o in obs if o < b]
+            nexts = [o for o in obs if o > b]
+            assert locf[(doc, b)] == (vals[prevs[-1]] if prevs
+                                      else (None, None))
+            if prevs and nexts:
+                pb, nb = prevs[-1], nexts[0]
+                pv = vals[pb][1] / vals[pb][0]
+                nv = vals[nb][1] / vals[nb][0]
+                want = pv + (nv - pv) * ((b - pb) / (nb - pb))
+                assert interp[(doc, b)] == want, (doc, b)
+            else:
+                assert interp[(doc, b)] is None
