@@ -598,3 +598,68 @@ def test_gap_fill_variants_match_numpy_model(spark):
                 assert interp[(doc, b)] == want, (doc, b)
             else:
                 assert interp[(doc, b)] is None
+
+
+def test_retention_multi_random_configs_match_model(spark):
+    """Randomized N-tier retention: random nested tier sizes (2-4 tiers),
+    random nondecreasing horizons and random doc lengths, checked against
+    a direct numpy model of the aligned-cutoff serving rule — every
+    position served exactly once, by the tier the model predicts."""
+    import numpy as np
+
+    from matrixprofiler_spark.operators.rollup import (
+        cascade_tier,
+        finest_rollup,
+        retention_policy_multi,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=11, counter=[0, 0, 0, 0]))
+    for trial in range(4):
+        n_tiers = int(rng.integers(2, 5))
+        sizes = [int(rng.choice([4, 8, 16]))]
+        for _ in range(n_tiers - 1):
+            sizes.append(sizes[-1] * int(rng.choice([2, 4])))
+        horizons = sorted(int(rng.integers(0, 4 * sizes[-1]))
+                          for _ in range(n_tiers - 1))
+        docs = {f"t{trial}d{i}": int(rng.integers(1, 6 * sizes[-1]))
+                for i in range(8)}
+        rows = [(d, "web", np.arange(n, dtype=np.int64) % 97, n)
+                for d, n in docs.items()]
+        tokens = spark.createDataFrame(
+            [(d, [int(v) for v in toks], n, s) for d, s, toks, n in
+             [(r[0], r[1], r[2], r[3]) for r in rows]],
+            "doc_id string, tokens array<int>, n_tok int, source string")
+
+        fine = finest_rollup(tokens, sizes[0])
+        tiers = [(fine, sizes[0])]
+        for i, sz in enumerate(sizes[1:], 1):
+            tiers.append((cascade_tier(fine, sizes[0], sz, f"T{i}"), sz))
+        served = retention_policy_multi(tiers, horizons)
+        got = served.select("doc_id", "tier", "bucket", "cnt").collect()
+
+        # numpy model: per doc, cutoffs from the aligned rule; position p
+        # belongs to the FINEST tier i with end(p's bucket) > cutoff[i]
+        tier_names = ["1m"] + [f"T{i}" for i in range(1, n_tiers)]
+        for d, n in docs.items():
+            wm = ((n + sizes[0] - 1) // sizes[0]) * sizes[0]
+            cuts = [int(np.floor((wm - h) / sizes[i + 1]) * sizes[i + 1])
+                    for i, h in enumerate(horizons)]
+            expect = {}
+            for p in range(n):
+                for i in range(n_tiers):
+                    b = p // sizes[i]
+                    end = (b + 1) * sizes[i]
+                    lo_ok = i == n_tiers - 1 or end > cuts[i]
+                    hi_ok = i == 0 or end <= cuts[i - 1]
+                    if lo_ok and hi_ok:
+                        expect[p] = (tier_names[i], b)
+                        break
+                else:
+                    raise AssertionError(f"model gap at {d} pos {p}")
+            got_d = [(r.tier, r.bucket, r.cnt) for r in got if r.doc_id == d]
+            # served cnt sums to n and tiers/buckets match the model
+            assert sum(c for _, _, c in got_d) == n, (trial, d)
+            model_rows = {}
+            for p, tb in expect.items():
+                model_rows[tb] = model_rows.get(tb, 0) + 1
+            assert {(t, b): c for t, b, c in got_d} == model_rows, (trial, d)

@@ -275,3 +275,43 @@ def test_checkpoint_resume_sink_reinvocation(spark, tmp_path):
     first = sorted(map(tuple, q_checkpoint_rollup_resume(spark, sf, sink_dir=base).collect()))
     second = sorted(map(tuple, q_checkpoint_rollup_resume(spark, sf, sink_dir=base).collect()))
     assert second == first
+
+
+def test_streamed_rollup_feeds_retention_view(spark, tmp_path):
+    """End-to-end: stream-ingested fine-tier rollup read back from the
+    sink must drive the N-tier retention serving view identically to the
+    batch path — the production shape where the streaming job maintains
+    the fine tier and serving queries read it."""
+    from matrixprofiler_spark.operators.rollup import (
+        cascade_tier,
+        retention_policy_multi,
+    )
+
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    tokens = synth_tokens_df(spark, 16, seed=7)
+    tokens.write.parquet(inp)
+
+    q = stream_tokens_rollup(spark, inp, sink, ckpt, bucket_size=16)
+    q.awaitTermination(120)
+
+    def view(fine):
+        m2 = cascade_tier(fine, 16, 64, "4m")
+        m3 = cascade_tier(fine, 16, 256, "16m")
+        return retention_policy_multi(
+            [(fine, 16), (m2, 64), (m3, 256)], [256, 1024]
+        )
+
+    key = ["doc_id", "source", "tier", "bucket"]
+    streamed = view(spark.read.parquet(sink)).orderBy(key).collect()
+    batch = view(finest_rollup(tokens, 16)).orderBy(key).collect()
+    assert len(streamed) == len(batch) > 0
+    for a, b in zip(streamed, batch):
+        assert a.asDict() == b.asDict()
+    # serving-view invariant holds on the streamed path too
+    served_tok = {r.doc_id: 0 for r in streamed}
+    for r in streamed:
+        served_tok[r.doc_id] += r.cnt
+    want_tok = {r.doc_id: r.n_tok for r in tokens.collect()}
+    assert served_tok == want_tok
