@@ -1766,6 +1766,86 @@ FROM events GROUP BY 1, 2
 
 
 
+def q_events_retention(spark, sf_dir):
+    """Time-domain retention: the SAME retention_policy operator serving
+    wall-clock series — per-user hourly event rollups inside a 48h
+    horizon, daily rollups beyond it (cutoff aligned to day boundaries).
+    Bucket unit = hours since the epoch anchor, so fine_size=1 and
+    coarse_size=24; watermark = each user's own high-water hour."""
+    from .operators.rollup import retention_policy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hour = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+        " date_trunc('hour', ts))"
+    ).cast("long")
+    fine = (
+        ev.withColumn("bucket", hour)
+        .groupBy(F.col("user_id").cast("string").alias("doc_id"), "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+        .withColumn("source", F.lit("events"))
+        .withColumn("tier", F.lit("1h"))
+    ).persist()
+    coarse = (
+        fine.groupBy(
+            "doc_id", "source",
+            (F.col("bucket") / 24).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .withColumn("tier", F.lit("1d"))
+    )
+    served = retention_policy(fine, coarse, 1, 24, horizon=48)
+    return served.select(
+        "doc_id", "tier", "bucket", "cnt", "sum_cents",
+        "min_cents", "max_cents",
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH f AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(MIN(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS min_cents,
+         CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT doc_id, CAST(FLOOR(bucket / 24.0) AS BIGINT) AS bucket,
+         CAST(SUM(cnt) AS BIGINT) AS cnt,
+         CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+         CAST(MIN(min_cents) AS BIGINT) AS min_cents,
+         CAST(MAX(max_cents) AS BIGINT) AS max_cents
+  FROM f GROUP BY 1, 2
+),
+wm AS (SELECT doc_id, (MAX(bucket) + 1) * 1 AS wm FROM f GROUP BY 1),
+cut AS (
+  SELECT doc_id, CAST(FLOOR((wm - 48) / 24.0) * 24 AS BIGINT) AS cutoff
+  FROM wm
+)
+SELECT f.doc_id, '1h' AS tier, f.bucket, cnt, sum_cents, min_cents, max_cents
+FROM f JOIN cut ON f.doc_id = cut.doc_id
+WHERE (f.bucket + 1) * 1 > cutoff
+UNION ALL
+SELECT c.doc_id, '1d' AS tier, c.bucket, cnt, sum_cents, min_cents, max_cents
+FROM c JOIN cut ON c.doc_id = cut.doc_id
+WHERE (c.bucket + 1) * 24 <= cutoff
+"""
+
+
 def q_tier_blobs(spark, sf_dir):
     """Gorilla/DoD tier blobs, verified THROUGH the codecs: rollup ->
     encode -> decode -> per-doc aggregates of the decoded series must equal
@@ -3325,17 +3405,18 @@ def queries() -> dict:
         # sample_stratified / pack_sequences / decontamination past the
         # driver's 50-row window; those three are driver-green in
         # CORRECTNESS_r0{2,3,4}.json (last certified at commit 88e4125)
-        # and their code is unchanged this round.  The five retention /
+        # and their code is unchanged this round.  The six retention /
         # gap-fill / downsample faces below additionally displace
-        # ann_srp_buckets, ann_srp_pairs, doc_repetition,
-        # bigram_commonness and corpus_curation (all driver-green r2-r4,
-        # last certified at commit 88e4125, code unchanged this round)
-        # past the window.
+        # audio_features, ann_srp_buckets, ann_srp_pairs,
+        # doc_repetition, bigram_commonness and corpus_curation (all
+        # driver-green r2-r4, last certified at commit 88e4125, code
+        # unchanged this round) past the window.
         "retention_policy": q_retention_policy,
         "retention_tiers_3": q_retention_tiers_3,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_interp": q_gapfill_interp,
         "downsample_m4": q_downsample_m4,
+        "events_retention": q_events_retention,
         "dedup_ngram_capfire": q_dedup_ngram_capfire,
         "dedup_lsh_capfire": q_dedup_lsh_capfire,
         "decontamination_capfire": q_decontamination_capfire,
@@ -3420,6 +3501,7 @@ def oracle_sql() -> dict:
         "gapfill_locf": SQL_GAPFILL_LOCF,
         "gapfill_interp": SQL_GAPFILL_INTERP,
         "downsample_m4": SQL_DOWNSAMPLE_M4,
+        "events_retention": SQL_EVENTS_RETENTION,
         "dedup_ngram_capfire": SQL_DEDUP_NGRAM_CAPFIRE,
         "dedup_lsh_capfire": SQL_DEDUP_LSH_CAPFIRE,
         "decontamination_capfire": SQL_DECON_CAPFIRE,
