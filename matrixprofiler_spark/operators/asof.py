@@ -163,7 +163,15 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
             f"asof_join: left.{ts} is {lt.simpleString()} but right.{ts} is "
             f"{rt.simpleString()}; cast one side so the ts families match"
         )
-    if split_width == "auto":
+    if isinstance(split_width, str):
+        # only the exact literal "auto" is meaningful; any other string
+        # ("Auto", "86400s", ...) would otherwise fall through to the
+        # salted plan and die later in float() with an opaque message
+        if split_width != "auto":
+            raise ValueError(
+                f'split_width must be a number, None, or "auto", '
+                f"got {split_width!r}"
+            )
         split_width = auto_split_width(left, right, key, ts, auto_target_rows)
     if split_width is not None:
         return _asof_join_salted(left, right, key, ts, payload_cols,

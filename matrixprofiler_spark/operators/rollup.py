@@ -121,8 +121,13 @@ def cascade_tier(finer: DataFrame, finer_size: int, coarser_size: int,
     a pure map-side-combinable groupBy (no raw re-read)."""
     k = coarser_size // finer_size
     return (
+        # F.floor, not cast-truncate: token-offset buckets are always >= 0
+        # so the two agree here, but floor keeps the operator correct for
+        # signed bucket domains (e.g. wall-clock buckets before an epoch
+        # anchor) — same hardening as the retention cutoff math.
         finer.groupBy(
-            "doc_id", "source", (F.col("bucket") / k).cast("long").alias("bucket")
+            "doc_id", "source",
+            F.floor(F.col("bucket") / k).cast("long").alias("bucket"),
         )
         .agg(
             F.sum("cnt").alias("cnt"),
@@ -453,9 +458,10 @@ def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
     skew.
 
     Contract: every coarser tier must be derived from the finest one
-    (``cascade_tier``), so each doc in any tier has a watermark row —
-    the inner joins would silently drop a doc present only in a coarser
-    tier."""
+    (``cascade_tier``), so each doc in any tier has a watermark row.
+    The contract is enforced: each tier left-joins the watermark and a
+    missing wm raises at execution time (fail-fast) instead of the old
+    inner join silently dropping the doc."""
     if len(tiers) < 2 or len(horizons) != len(tiers) - 1:
         raise ValueError("need >=2 tiers and exactly len(tiers)-1 horizons")
     sizes = [s for _, s in tiers]
@@ -486,8 +492,23 @@ def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
         cond = F.lit(True) if i == len(tiers) - 1 else end > cutoffs[i]
         if i > 0:
             cond = cond & (end <= cutoffs[i - 1])
+        # left join + fail-fast instead of a plain inner join: the
+        # derivation contract (every coarser tier cascaded from the
+        # finest) guarantees a watermark row per doc; if a caller feeds a
+        # mis-derived coarse tier, an inner join would silently DROP its
+        # docs. The when() wrapper evaluates the null check before the
+        # wm-derived cutoff conditions, so a missing watermark raises
+        # loudly at execution time instead of losing data.
+        checked = F.when(
+            F.col("wm").isNull(),
+            F.raise_error(F.lit(
+                "retention_policy_multi: doc present in a coarser tier has "
+                "no watermark row in the finest tier — coarser tiers must "
+                "be derived from the finest (cascade_tier)"
+            )).cast("boolean"),
+        ).otherwise(cond)
         served.append(
-            df.join(wm, ["doc_id", "source"]).where(cond).drop("wm")
+            df.join(wm, ["doc_id", "source"], "left").where(checked).drop("wm")
         )
     out = served[0]
     for s in served[1:]:

@@ -93,6 +93,26 @@ def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens_from_documents(spark, sf_dir)
 
 
+# Per-face cache registry: a face that persists an intermediate calls
+# _face_cache(df); the NEXT face to call it first unpersists everything the
+# previous face left behind. The certification driver materializes each
+# face's result before invoking the next, so by then the old cache is dead
+# weight — without this, ~50 faces in one session accumulate executor
+# memory until LRU eviction kicks in (ADVICE r5).
+_LIVE_FACE_CACHES: list[DataFrame] = []
+
+
+def _face_caches_clear() -> None:
+    while _LIVE_FACE_CACHES:
+        _LIVE_FACE_CACHES.pop().unpersist()
+
+
+def _face_cache(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_FACE_CACHES.append(df)
+    return df
+
+
 # ---------------------------------------------------------------- queries
 
 def q_rollup_1m(spark, sf_dir):
@@ -132,7 +152,8 @@ def q_retention_policy(spark, sf_dir):
 
     # persist: wm + fine-served + cascade branches all read m1; without
     # the cache the raw-token Arrow kernel would run once per branch
-    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET).persist()
+    _face_caches_clear()
+    m1 = _face_cache(finest_rollup(_tok(spark, sf_dir), BUCKET))
     h1 = cascade_tier(m1, BUCKET, BUCKET_COARSE, "1h")
     served = retention_policy(m1, h1, BUCKET, BUCKET_COARSE, RET_HORIZON)
     return served.select(
@@ -182,7 +203,8 @@ def q_retention_tiers_3(spark, sf_dir):
     the next-coarser bucket grid so consecutive tiers meet seamlessly."""
     from .operators.rollup import retention_policy_multi
 
-    m1 = finest_rollup(_tok(spark, sf_dir), BUCKET).persist()
+    _face_caches_clear()
+    m1 = _face_cache(finest_rollup(_tok(spark, sf_dir), BUCKET))
     m2 = cascade_tier(m1, BUCKET, 2 * BUCKET, "2m")
     m4 = cascade_tier(m1, BUCKET, 4 * BUCKET, "4m")
     served = retention_policy_multi(
@@ -275,7 +297,8 @@ def q_gapfill_locf(spark, sf_dir):
     from .operators.rollup import gap_fill_locf
 
     m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
-    holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3).persist()
+    _face_caches_clear()
+    holey = _face_cache(m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3))
     filled = gap_fill_locf(holey)
     return filled.select(
         "doc_id", "bucket", "filled", "cnt_locf", "sum_v_locf", "mean_locf"
@@ -318,7 +341,8 @@ def q_gapfill_interp(spark, sf_dir):
     from .operators.rollup import gap_fill_interpolate
 
     m1 = finest_rollup(_tok(spark, sf_dir), BUCKET)
-    holey = m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3).persist()
+    _face_caches_clear()
+    holey = _face_cache(m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3))
     filled = gap_fill_interpolate(holey)
     return filled.select("doc_id", "bucket", "filled", "v_interp")
 
@@ -1791,11 +1815,18 @@ def q_events_retention(spark, sf_dir):
         )
         .withColumn("source", F.lit("events"))
         .withColumn("tier", F.lit("1h"))
-    ).persist()
+    )
+    _face_caches_clear()
+    fine = _face_cache(fine)
     coarse = (
+        # floor (not cast-truncate) so pre-anchor hours (negative buckets)
+        # land in the right day bucket, matching the oracle's FLOOR — the
+        # seam math still additionally assumes events >= the epoch anchor
+        # (the fine hour bucket itself truncates toward zero in both
+        # engines), which holds for the generated events table.
         fine.groupBy(
             "doc_id", "source",
-            (F.col("bucket") / 24).cast("long").alias("bucket"),
+            F.floor(F.col("bucket") / 24).cast("long").alias("bucket"),
         )
         .agg(
             F.sum("cnt").alias("cnt"),
