@@ -410,7 +410,8 @@ def tier_blobs(rollup: DataFrame) -> DataFrame:
 
 
 def retention_policy(fine: DataFrame, coarse: DataFrame, fine_size: int,
-                     coarse_size: int, horizon: int) -> DataFrame:
+                     coarse_size: int, horizon: int,
+                     watermark: DataFrame | None = None) -> DataFrame:
     """Tiered retention serving view (the north star's "retention" stage;
     semantics modeled on TimescaleDB drop_chunks + continuous-aggregate
     real-time views): recent data is served at the fine tier, data older
@@ -430,13 +431,20 @@ def retention_policy(fine: DataFrame, coarse: DataFrame, fine_size: int,
     than raw tokens), so at scale the view's cost is marginal next to
     the rollup that feeds it; measured locally (68M tokens, 20k docs):
     full 3-tier serving view 5.2s vs 5.1s for the rollup itself — parity
-    even where per-stage fixed costs dominate."""
+    even where per-stage fixed costs dominate.
+
+    ``watermark``: optional stored watermark table (doc_id, source, wm) —
+    REQUIRED when ``fine`` is a physically compacted store
+    (streaming/expiry.py), whose max(bucket) no longer reflects the doc's
+    true high-water offset for a fully-expired doc."""
     return retention_policy_multi(
-        [(fine, fine_size), (coarse, coarse_size)], [horizon]
+        [(fine, fine_size), (coarse, coarse_size)], [horizon],
+        watermark=watermark,
     )
 
 
-def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
+def retention_policy_multi(tiers: list, horizons: list[int],
+                           watermark: DataFrame | None = None) -> DataFrame:
     """N-tier retention serving view generalizing :func:`retention_policy`
     to the full raw->1m->1h->1d cascade: ``tiers`` is a list of
     ``(rollup_df, bucket_size)`` finest-first with nested sizes
@@ -476,11 +484,17 @@ def retention_policy_multi(tiers: list, horizons: list[int]) -> DataFrame:
         raise ValueError("horizons must be nondecreasing finest-first")
 
     fine_df, fine_size = tiers[0]
-    # watermark at the doc-identity grain (doc_id, source) — same doc_id
-    # under two sources must not see each other's high-water offset
-    wm = fine_df.groupBy("doc_id", "source").agg(
-        ((F.max("bucket") + 1) * fine_size).alias("wm")
-    )
+    if watermark is not None:
+        # stored watermark (captured by the expiry job BEFORE compaction):
+        # authoritative for a compacted fine store, where a fully-expired
+        # doc has no fine rows left to recompute its high-water from
+        wm = watermark.select("doc_id", "source", "wm")
+    else:
+        # watermark at the doc-identity grain (doc_id, source) — same
+        # doc_id under two sources must not see the other's high-water
+        wm = fine_df.groupBy("doc_id", "source").agg(
+            ((F.max("bucket") + 1) * fine_size).alias("wm")
+        )
     cutoffs = [
         (F.floor((F.col("wm") - F.lit(h)) / sizes[i + 1]) * sizes[i + 1])
         .cast("long")

@@ -196,6 +196,81 @@ WHERE (c.bucket + 1) * {BUCKET_COARSE} <= cutoff
 """
 
 
+def q_retention_expiry(spark, sf_dir, sink_dir=None):
+    """PHYSICAL retention expiry (TimescaleDB drop_chunks analog,
+    streaming/expiry.py): a snapshot-committed compaction job REWRITES the
+    stored fine tier, dropping every bucket at or below the per-doc
+    cutoff (same aligned-cutoff math as the retention_policy serving
+    view). The face runs the job through an injected mid-run kill and a
+    resume, so the driver's value hash certifies the committed store that
+    a RESUMED run serves — and ``n_dropped`` embeds the expired-row
+    census (capfire pattern, recomputed independently by the oracle), so
+    the hash also proves rows were physically dropped, not just planned
+    to be."""
+    import shutil
+    import tempfile
+
+    from .streaming.expiry import RetentionExpiryJob
+
+    base = sink_dir or tempfile.mkdtemp(prefix="retention_expiry_")
+    try:
+        fine = finest_rollup(_tok(spark, sf_dir), BUCKET)
+        job = RetentionExpiryJob(
+            spark, base, BUCKET, BUCKET_COARSE, RET_HORIZON, n_groups=4)
+        if not job.completed_groups():
+            try:
+                job.run(fine, fail_after=2)
+                raise AssertionError("injected failure did not fire")
+            except RuntimeError:
+                pass
+            job = RetentionExpiryJob(
+                spark, base, BUCKET, BUCKET_COARSE, RET_HORIZON, n_groups=4)
+            if len(job.completed_groups()) != 2:
+                raise AssertionError("expected exactly 2 committed groups")
+        job.run(fine)
+        n_dropped = job.metrics()["rows_dropped"]
+        out = job.result().select(
+            "doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v",
+            F.lit(int(n_dropped)).cast("long").alias("n_dropped"),
+        )
+        if sink_dir is not None:
+            return out
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if sink_dir is None:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_RETENTION_EXPIRY = f"""
+WITH {TOK_CTE},
+f AS (
+  SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+wm AS (SELECT doc_id, (MAX(bucket) + 1) * {BUCKET} AS wm FROM f GROUP BY 1),
+cut AS (
+  SELECT doc_id,
+         CAST(FLOOR((wm - {RET_HORIZON}) / {BUCKET_COARSE}.0)
+              * {BUCKET_COARSE} AS BIGINT) AS cutoff
+  FROM wm
+),
+kept AS (
+  SELECT f.doc_id, CAST(f.bucket AS BIGINT) AS bucket,
+         cnt, sum_v, sumsq, min_v, max_v
+  FROM f JOIN cut ON f.doc_id = cut.doc_id
+  WHERE (f.bucket + 1) * {BUCKET} > cutoff
+)
+SELECT doc_id, bucket, cnt, sum_v, sumsq, min_v, max_v,
+       CAST((SELECT COUNT(*) FROM f) - (SELECT COUNT(*) FROM kept)
+            AS BIGINT) AS n_dropped
+FROM kept
+"""
+
+
 def q_retention_tiers_3(spark, sf_dir):
     """Three-tier retention serving view over the nested 16/32/64 cascade
     (labels 1m/2m/4m): offsets newer than 16 at the finest tier, 16..32
@@ -3421,91 +3496,29 @@ FROM r, tot WHERE rank <= 100
 
 def queries() -> dict:
     # Registry order matters: the driver's correctness gate snapshots the
-    # FIRST 50 entries (CORRECTNESS_r0{2,3}.json keys == head of this dict).
-    # Round 4 rotates the 15 entries that had never received a driver row
-    # (r3 positions 51-65) into the head, and moves the 15 longest-green
-    # veterans (kernel_* family green r1-r3, binary_split/normalize/ed_corr/
-    # tpch_* green r2-r3) to the tail, so every one of the 65 entries has a
-    # driver-green record on file.  Every oracle is deterministic, so the
-    # rotated set stays green regardless of which 50 the driver samples.
+    # FIRST 50 entries. Rotation schedule (SURVEY §8): every face gets a
+    # driver-gate row at least every TWO rounds — each round the head is
+    # (a) faces new or code-changed this round, (b) every face whose last
+    # driver row is two rounds old (the previous round's tail), (c)
+    # operational keepers; everything displaced to the tail is
+    # driver-green in the immediately preceding round's artifact.
+    # Round 6 head = retention_expiry (new) + the 24 r5-tail entries
+    # (last driver row r4 / judge-verified r5) + the 7 faces touched by
+    # this round's hardening (retention/gapfill/cascade/asof) + 18
+    # keepers. The 25 displaced faces are ALL driver-green in
+    # CORRECTNESS_r05.json (commit 4dd049e) with code unchanged since.
     q = {
-        # -- head: round-5 cap-ACTIVE certification faces (VERDICT r4 #1).
-        # Each embeds its dropped-key census as an output column, so the
-        # driver's value hash certifies the cap FIRED (dropped > 0 keys),
-        # not merely that a capped plan exists. Their arrival pushes
-        # sample_stratified / pack_sequences / decontamination past the
-        # driver's 50-row window; those three are driver-green in
-        # CORRECTNESS_r0{2,3,4}.json (last certified at commit 88e4125)
-        # and their code is unchanged this round.  The six retention /
-        # gap-fill / downsample faces below additionally displace
-        # audio_features, ann_srp_buckets, ann_srp_pairs,
-        # doc_repetition, bigram_commonness and corpus_curation (all
-        # driver-green r2-r4, last certified at commit 88e4125, code
-        # unchanged this round) past the window.
+        # -- new this round: physical expiry (north-rule completion) -----
+        "retention_expiry": q_retention_expiry,
+        # -- code-changed this round (floor/fail-fast/cache hardening) ---
         "retention_policy": q_retention_policy,
         "retention_tiers_3": q_retention_tiers_3,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_interp": q_gapfill_interp,
-        "downsample_m4": q_downsample_m4,
         "events_retention": q_events_retention,
-        "dedup_ngram_capfire": q_dedup_ngram_capfire,
-        "dedup_lsh_capfire": q_dedup_lsh_capfire,
-        "decontamination_capfire": q_decontamination_capfire,
-        # -- the 15 entries rotated in from the r3 tail (driver-green r4) --
-        "matrix_profile_blobs": q_mp_blobs,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "lang_id_trigram": q_lang_id_trigram,
-        "rollup_by_source": q_rollup_by_source,
-        "motifs_discords": q_motifs_discords,
-        "stream_rollup": q_stream_rollup,
-        "checkpoint_rollup_resume": q_checkpoint_rollup_resume,
-        "sliding_stats_w8_chunked": q_sliding_stats_chunked,
-        "asof_purchases": q_asof_purchases,
-        "sessionize_events": q_sessionize_events,
-        "vocab_coverage": q_vocab_coverage,
-        "range_join_sessions": q_range_join_sessions,
-        "events_twa_rate": q_events_twa_rate,
-        "downsample_lttb": q_downsample_lttb,
-        "token_percentiles": q_token_percentiles,
-        # -- middle: r1/r2 queries still inside the 50-row window ---------
-        "rollup_1m": q_rollup_1m,
         "rollup_cascade": q_rollup_cascade,
-        "gapfill": q_gapfill,
-        "downsample_minmax": q_downsample_minmax,
-        "sliding_stats_w8": q_sliding_stats,
-        "zero_crossings_w16": q_zero_crossings,
-        "complexity": q_complexity,
-        "doc_znorm_stats": q_doc_znorm_stats,
-        "mode_token": q_mode_token,
-        "mass_w8": q_mass_w8,
-        "matrix_profile_w8": q_matrix_profile_w8,
-        "matrix_profile_w8_dist": q_matrix_profile_w8_dist,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_components": q_dedup_components,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_topk": q_ann_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "text_stats": q_text_stats,
-        "lang_guess": q_lang_guess,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "events_rollup_1h": q_events_rollup,
-        "tier_blobs": q_tier_blobs,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
-        "ann_srp_buckets": q_srp_buckets,
-        "ann_srp_pairs": q_srp_pairs,
-        "doc_repetition": q_doc_repetition,
-        "bigram_commonness": q_bigram_commonness,
-        "corpus_curation": q_corpus_curation,
-        "sample_stratified": q_sample_stratified,
-        "pack_sequences": q_pack_sequences,
-        "decontamination": q_decontamination,
-        # -- tail: 15 veterans with driver-green rows in r1-r3 ------------
-        # exact-int char-token faces: oracle-hash-verified semantics AND the
-        # real kernel run per row (kernel_close pinned TRUE by the oracle)
+        "asof_purchases": q_asof_purchases,
+        # -- the 24 r5-tail entries rotated back into the window ---------
         "kernel_stomp_w64": q_kernel_stomp,
         "kernel_stamp_w64": q_kernel_stamp,
         "kernel_scrimp_w64": q_kernel_scrimp,
@@ -3521,12 +3534,68 @@ def queries() -> dict:
         "ed_corr_roundtrip": q_ed_corr,
         "tpch_q1_cents": q_tpch_q1,
         "tpch_top_customers": q_tpch_top_customers,
+        "audio_features": q_audio_features,
+        "ann_srp_buckets": q_srp_buckets,
+        "ann_srp_pairs": q_srp_pairs,
+        "doc_repetition": q_doc_repetition,
+        "bigram_commonness": q_bigram_commonness,
+        "corpus_curation": q_corpus_curation,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
+        "decontamination": q_decontamination,
+        # -- operational keepers (driver-green r5, kept in-window) -------
+        "downsample_m4": q_downsample_m4,
+        "gapfill": q_gapfill,
+        "rollup_1m": q_rollup_1m,
+        "stream_rollup": q_stream_rollup,
+        "checkpoint_rollup_resume": q_checkpoint_rollup_resume,
+        "matrix_profile_blobs": q_mp_blobs,
+        "matrix_profile_w8": q_matrix_profile_w8,
+        "matrix_profile_w8_dist": q_matrix_profile_w8_dist,
+        "sliding_stats_w8_chunked": q_sliding_stats_chunked,
+        "mass_w8": q_mass_w8,
+        "dedup_ngram_capfire": q_dedup_ngram_capfire,
+        "dedup_lsh_capfire": q_dedup_lsh_capfire,
+        "decontamination_capfire": q_decontamination_capfire,
+        "dedup_exact": q_dedup_exact,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "vocab_coverage": q_vocab_coverage,
+        "token_percentiles": q_token_percentiles,
+        "downsample_lttb": q_downsample_lttb,
+        # ---- driver window ends after the 50th entry above -------------
+        # -- tail: 25 faces, ALL driver-green in CORRECTNESS_r05.json ----
+        "sliding_stats_w8": q_sliding_stats,
+        "zero_crossings_w16": q_zero_crossings,
+        "complexity": q_complexity,
+        "doc_znorm_stats": q_doc_znorm_stats,
+        "mode_token": q_mode_token,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "text_stats": q_text_stats,
+        "lang_guess": q_lang_guess,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "events_rollup_1h": q_events_rollup,
+        "tier_blobs": q_tier_blobs,
+        "image_features": q_image_features,
+        "lang_id_trigram": q_lang_id_trigram,
+        "rollup_by_source": q_rollup_by_source,
+        "motifs_discords": q_motifs_discords,
+        "sessionize_events": q_sessionize_events,
+        "range_join_sessions": q_range_join_sessions,
+        "events_twa_rate": q_events_twa_rate,
+        "downsample_minmax": q_downsample_minmax,
     }
     return q
 
 
 def oracle_sql() -> dict:
     return {
+        "retention_expiry": SQL_RETENTION_EXPIRY,
         "retention_policy": SQL_RETENTION_POLICY,
         "retention_tiers_3": SQL_RETENTION_TIERS_3,
         "gapfill_locf": SQL_GAPFILL_LOCF,
