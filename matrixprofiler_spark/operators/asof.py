@@ -69,9 +69,13 @@ def auto_split_width(left: DataFrame, right: DataFrame, key: str, ts: str,
 
     Returns None — "use the plain single-window plan" — when no key
     exceeds ``target_rows`` (salting would only add three aggregate
-    shuffles for nothing) or when every hot key's OWN ts span is
-    degenerate (all its rows on one timestamp: ranges cannot split equal
-    timestamps, salting cannot relieve that straggler).
+    shuffles for nothing) or when no hot key is actually SPLITTABLE:
+    ranges cannot split equal timestamps, so a hot key only counts when
+    its span is positive AND its modal timestamp holds at most half its
+    rows (otherwise the post-split max bucket ~= the pre-split one — a
+    key with 99% of its rows on one ts gets no relief from any width,
+    and the adversarial-skew pytest pins that we fall back to the plain
+    plan instead of emitting a uselessly tiny width).
 
     The width is derived per hot key from that key's own span — the
     minimum over hot keys of span_k / max(2, ceil(n_k / target)) — NOT
@@ -80,8 +84,10 @@ def auto_split_width(left: DataFrame, right: DataFrame, key: str, ts: str,
     skew relief. Taking the min width over-splits the other keys, whose
     cost is only extra one-row-per-(key, range) aggregate rows. Every
     hot key with a positive span is guaranteed >= 2 ranges
-    (pytest-asserted). Cost: one keyed aggregate + a 1-row reduction;
-    both map-side combinable, rows bounded by key cardinality."""
+    (pytest-asserted). Cost: a (key, ts)-grain partial count feeding a
+    keyed aggregate + a 1-row reduction; all map-side combinable — the
+    (key, ts) grain is the same grain the join's window sorts on, so the
+    census is never bigger than the join's own shuffle."""
     ts_type = right.schema[ts].dataType
     both = left.select(
         F.col(key).alias("__k"), _seconds(F.col(ts), ts_type).alias("__s")
@@ -90,12 +96,18 @@ def auto_split_width(left: DataFrame, right: DataFrame, key: str, ts: str,
             F.col(key).alias("__k"), _seconds(F.col(ts), ts_type).alias("__s")
         )
     )
-    per_key = both.groupBy("__k").agg(
-        F.count("*").alias("n"), F.min("__s").alias("mn"), F.max("__s").alias("mx")
+    per_ts = both.groupBy("__k", "__s").agg(F.count("*").alias("nts"))
+    per_key = per_ts.groupBy("__k").agg(
+        F.sum("nts").alias("n"), F.min("__s").alias("mn"),
+        F.max("__s").alias("mx"), F.max("nts").alias("modal"),
     )
     st = (
         per_key.filter(
-            (F.col("n") > target_rows) & (F.col("mx") > F.col("mn"))
+            (F.col("n") > target_rows)
+            & (F.col("mx") > F.col("mn"))
+            # splitting must at least HALVE the hot bucket: the modal ts
+            # rides into one range whatever the width
+            & (F.col("modal") * 2 <= F.col("n"))
         )
         .select(
             (

@@ -551,7 +551,10 @@ def gap_fill_locf(rollup: DataFrame, spine: DataFrame | None = None) -> DataFram
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = joined
-    for c in ("cnt", "sum_v"):
+    # min_v/max_v ride the SAME carry window with the same NULL semantics
+    # (dashboards read them alongside mean): a hole reproduces the whole
+    # last-observed bucket, leading holes stay NULL in every column
+    for c in ("cnt", "sum_v", "min_v", "max_v"):
         out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
     return out.withColumn(
         "mean_locf", F.col("sum_v_locf") / F.col("cnt_locf")

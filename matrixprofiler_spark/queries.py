@@ -376,7 +376,8 @@ def q_gapfill_locf(spark, sf_dir):
     holey = _face_cache(m1.filter(F.pmod(F.col("bucket"), F.lit(5)) != 3))
     filled = gap_fill_locf(holey)
     return filled.select(
-        "doc_id", "bucket", "filled", "cnt_locf", "sum_v_locf", "mean_locf"
+        "doc_id", "bucket", "filled", "cnt_locf", "sum_v_locf",
+        "min_v_locf", "max_v_locf", "mean_locf"
     )
 
 
@@ -384,7 +385,8 @@ SQL_GAPFILL_LOCF = f"""
 WITH {TOK_CTE},
 r AS (
   SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
   FROM pos GROUP BY 1, 2
   HAVING (bucket % 5) != 3
 ),
@@ -392,18 +394,20 @@ mx AS (SELECT doc_id, MAX(bucket) AS mb FROM r GROUP BY 1),
 spine AS (SELECT doc_id, UNNEST(range(0, mb + 1)) AS bucket FROM mx),
 j AS (
   SELECT s.doc_id, CAST(s.bucket AS BIGINT) AS bucket,
-         r.doc_id IS NULL AS filled, r.cnt, r.sum_v
+         r.doc_id IS NULL AS filled, r.cnt, r.sum_v, r.min_v, r.max_v
   FROM spine s LEFT JOIN r ON s.doc_id = r.doc_id AND s.bucket = r.bucket
 ),
 locf AS (
   SELECT doc_id, bucket, filled,
          last_value(cnt IGNORE NULLS) OVER w AS cnt_locf,
-         last_value(sum_v IGNORE NULLS) OVER w AS sum_v_locf
+         last_value(sum_v IGNORE NULLS) OVER w AS sum_v_locf,
+         last_value(min_v IGNORE NULLS) OVER w AS min_v_locf,
+         last_value(max_v IGNORE NULLS) OVER w AS max_v_locf
   FROM j
   WINDOW w AS (PARTITION BY doc_id ORDER BY bucket
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT doc_id, bucket, filled, cnt_locf, sum_v_locf,
+SELECT doc_id, bucket, filled, cnt_locf, sum_v_locf, min_v_locf, max_v_locf,
        sum_v_locf / cnt_locf AS mean_locf
 FROM locf
 """

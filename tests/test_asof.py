@@ -249,3 +249,49 @@ def test_auto_split_width(spark):
         for r in asof_join(left, right, "k", "t", ["v"], split_width=w).collect()
     )
     assert got_fixed == base
+
+
+def test_auto_split_width_adversarial_skew(spark):
+    """VERDICT r5 #7: one key holds 99% of all rows, its own span is a
+    sliver of the global span. The derived width must still split the
+    hot key into >1 (key, range) task, and the salted result must match
+    the plain plan bit-for-bit. The fully-degenerate variant (hot key
+    entirely on ONE timestamp) must fall back to the plain plan (None)
+    rather than emit a width that cannot split equal timestamps."""
+    import math
+
+    from matrixprofiler_spark.operators.asof import asof_join, auto_split_width
+
+    # 990 of 1000 left rows on key H, all inside ts [1000, 1002];
+    # 10 cold rows on key C spread over [0, 100000]
+    rows = [(7, 1000 + (i % 3), f"h{i}") for i in range(990)] + [
+        (8, i * 10_000, f"c{i}") for i in range(10)]
+    left = spark.createDataFrame(rows, "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(7, 1000, 70), (7, 1001, 71), (8, 0, 80)], "k long, t long, v long")
+
+    w = auto_split_width(left, right, "k", "t", target_rows=100)
+    # hot key's own span is 2; ceil(993/100)=10 target ranges -> w = 2/10
+    assert w is not None and w <= 2 / 2  # >= 2 ranges across the sliver
+    hot_ranges = {math.floor(t / w) for t in (1000, 1001, 1002)}
+    assert len(hot_ranges) > 1  # >1 task for the hot key
+
+    key = lambda r: (r.k, r.t, r.tag, r.v, r.asof_ts)
+    plain = sorted(map(key, asof_join(left, right, "k", "t", ["v"]).collect()))
+    salted = sorted(map(key, asof_join(
+        left, right, "k", "t", ["v"], split_width="auto",
+        auto_target_rows=100).collect()))
+    assert salted == plain
+
+    # fully degenerate hot key: every row at ONE ts -> auto=None (plain
+    # plan; ranges cannot split equal timestamps), result still correct
+    deg = spark.createDataFrame(
+        [(7, 5, f"h{i}") for i in range(990)] + [(8, 11, "c")],
+        "k long, t long, tag string")
+    rdeg = spark.createDataFrame([(7, 4, 70), (8, 3, 80)], "k long, t long, v long")
+    assert auto_split_width(deg, rdeg, "k", "t", target_rows=100) is None
+    got = sorted(map(key, asof_join(
+        deg, rdeg, "k", "t", ["v"], split_width="auto",
+        auto_target_rows=100).collect()))
+    want = sorted(map(key, asof_join(deg, rdeg, "k", "t", ["v"]).collect()))
+    assert got == want

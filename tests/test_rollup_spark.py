@@ -446,6 +446,16 @@ def test_gap_fill_locf_semantics(spark):
     assert out[("b", 0)] == (False, 3, 30, 10.0)
     assert len(out) == 6
 
+    # min_v/max_v ride the same carry window with the same NULL semantics
+    mm = {
+        (r.doc_id, r.bucket): (r.min_v_locf, r.max_v_locf)
+        for r in gap_fill_locf(roll).collect()
+    }
+    assert mm[("a", 0)] == (None, None)                   # leading hole
+    assert mm[("a", 1)] == mm[("a", 2)] == mm[("a", 3)] == (1, 9)
+    assert mm[("a", 4)] == (2, 8)
+    assert mm[("b", 0)] == (3, 7)
+
 
 def test_downsample_m4_matches_numpy(spark, tokens):
     """The PRODUCTION M4 operator per 64-bucket == numpy
