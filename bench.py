@@ -89,7 +89,10 @@ def main() -> None:
     t0 = time.time()
     tok_path = str(REPO / "data" / f"tokens_{sf_name}_{N_DOCS}")
     tokens = ensure_synth_tokens(spark, N_DOCS, tok_path, seed=SEED)
-    n_tokens_total = tokens.agg(F.sum("n_tok")).collect()[0][0]
+    census = tokens.agg(
+        F.sum("n_tok").alias("s"), F.max("n_tok").alias("m")
+    ).collect()[0]
+    n_tokens_total, n_tok_max = census["s"], census["m"]
     times["tokens_table"] = time.time() - t0
 
     parts = 4 * CPUS
@@ -221,18 +224,26 @@ def main() -> None:
 
     # Routing cut: one blob task per doc up to MP_CUT tokens; beyond it a
     # doc becomes distributed (chunk x chunk) tiles. The cut is a
-    # per-task cost bound, not a kernel limit — a 16384-token doc is one
-    # ~2.3s task, and the per-doc MPX diagonals run ~1.6x faster per
-    # half-pair than the tiled dgemm (measured single-thread: 59M vs 35M
-    # at n=16k), because a tile pays its partner-chunk transfer plus
-    # cross-tile recompute of the window stats. So the cut sits at the
-    # corpus max (16384): tiles are the price of spanning tasks and
-    # should only be paid when a doc genuinely cannot be one task.
-    # r4 (cut=8192) routed 81% of the half-pairs through tiles and
-    # measured 543.7s solo; this routing measured 285.4s at identical
-    # work. The tile path stays live for docs > cut (none in this corpus)
-    # and is certified by the matrix_profile_w8_dist oracle face.
-    MP_CUT = 16384
+    # per-task cost bound, not a kernel limit — the per-doc MPX diagonals
+    # run ~1.6x faster per half-pair than the tiled dgemm (measured
+    # single-thread: 59M vs 35M at n=16k), because a tile pays its
+    # partner-chunk transfer plus cross-tile recompute of the window
+    # stats; tiles are the price of spanning tasks and should only be
+    # paid when a doc genuinely cannot be one task. r4 (cut=8192) routed
+    # 81% of the half-pairs through tiles and measured 543.7s solo; the
+    # cut==corpus-max routing measured 285.4s at identical work. Since r6
+    # the cut is DERIVED from the corpus census + the per-task cost
+    # bound (plans/partitioning.py:mp_routing_cut): min(corpus max,
+    # sqrt(2 * task_budget * kernel_rate)) — identical routing (16384)
+    # at this corpus, while a new corpus with million-token docs would
+    # automatically tile them at ~17k instead of silently inheriting
+    # this corpus's constant. The tile path is measured at bench scale
+    # by the matrix_profile_tiles_w128 stage below and certified exact
+    # by the matrix_profile_w8_dist oracle face.
+    from matrixprofiler_spark.plans.partitioning import mp_routing_cut
+
+    MP_CUT = mp_routing_cut(n_tok_max)
+    extra["mp_routing_cut"] = int(MP_CUT)
     # 16x cores: ~7 heavy docs per task, so the stage drains with a
     # single-task (~18s) tail instead of the 4x-cores ~60s straggler
     # (measured 394s -> 285s at equal work)
@@ -296,6 +307,65 @@ def main() -> None:
     )
     extra["mp_half_pairs"] = int(mp_pairs)
     extra["mp_pairs_per_sec"] = mp_pairs / times["matrix_profile_mpx_w128"]
+
+    # ---- distributed-MP TILE path at bench scale (VERDICT r5 #1/#3) ----
+    # The main corpus maxes out at the routing cut, so the stage above
+    # exercises only the blob path; this stage measures the tile path's
+    # throughput at stated work on a deterministic long-doc slice (docs
+    # ~4x past the cut — each one MUST span tasks). Kept as its own
+    # stage so the matrix_profile_mpx_w128 line stays work-identical to
+    # BENCH_r05; min-of-2 (quota noise guard).
+    LONG_N, LONG_TOK = 12, 65536
+
+    def _long_docs():
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ])
+        base = spark.range(0, LONG_N, 1, LONG_N)
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            for b in batches:
+                rows = []
+                for i in b["id"].tolist():
+                    rng = np.random.default_rng(SEED * 100003 + int(i))
+                    toks = rng.integers(0, 50257, size=LONG_TOK,
+                                        dtype=np.int32)
+                    rows.append((f"long_{int(i):04d}",
+                                 [int(v) for v in toks], LONG_TOK, "longdoc"))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "tokens", "n_tok", "source"])
+
+        return base.mapInPandas(gen, schema=schema)
+
+    long_docs = _long_docs().persist()
+    long_docs.count()  # materialize outside the timed window
+    assert LONG_TOK > MP_CUT  # every long doc routes through tiles
+    tile_runs = []
+    tile_points = 0
+    for _ in range(2):
+        t0 = time.time()
+        tile_points = matrix_profile_distributed(
+            long_docs, w=128, chunk_len=4096, num_partitions=mp_parts,
+        ).count()
+        tile_runs.append(round(time.time() - t0, 3))
+    long_docs.unpersist()
+    times["matrix_profile_tiles_w128"] = min(tile_runs)
+    tile_pairs = LONG_N * (LONG_TOK - 127.0) ** 2 / 2
+    extra["mp_tile_runs"] = tile_runs
+    extra["mp_tile_half_pairs"] = int(tile_pairs)
+    extra["mp_tile_pairs_per_sec"] = tile_pairs / times["matrix_profile_tiles_w128"]
+    # total profile points produced via the tile path this run (main
+    # stage's within-corpus routing + the long-doc tile stage)
+    extra["mp_points_distributed"] = int(
+        extra.get("mp_points_distributed", 0)) + int(tile_points)
 
 
     total = sum(times.values())

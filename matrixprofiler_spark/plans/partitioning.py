@@ -63,3 +63,36 @@ def plan_partitions(
         shuffle_partitions=int(shuffle_partitions),
         max_partition_bytes="32m" if total_tokens < 10**10 else "128m",
     )
+
+
+# Measured single-process throughput of the per-doc MPX diagonal kernel
+# (BENCH/BASELINE.md r5 kernel measurements: ~59M half-pairs/s/proc vs
+# ~35M for the tiled dgemm path, which additionally pays partner-chunk
+# Arrow transfer + cross-tile window-stat recompute). Used only to DERIVE
+# the routing cut below; the bench re-measures both paths every round.
+MPX_BLOB_HALF_PAIRS_PER_SEC = 59e6
+
+
+def mp_routing_cut(
+    corpus_max_tokens: int,
+    task_budget_sec: float = 2.5,
+    half_pairs_per_sec: float = MPX_BLOB_HALF_PAIRS_PER_SEC,
+    floor_tokens: int = 4096,
+) -> int:
+    """Blob-vs-tile routing cut for the matrix-profile stage, derived from
+    the corpus census + a per-task cost bound instead of a hard-coded
+    constant (VERDICT r5 note #1).
+
+    A doc of n tokens is n^2/2 half-pairs; one blob task must stay under
+    ``task_budget_sec`` at the measured kernel rate, so the budget bound
+    is n_budget = sqrt(2 * budget * rate) (~17k tokens at the defaults).
+    Because the blob kernel is faster PER HALF-PAIR than the tile path,
+    tiles are only worth paying when a doc genuinely cannot be one task:
+    the cut is min(corpus max, budget bound) — at a 16k-max corpus that
+    reproduces the measured-optimal cut==max routing, while a corpus with
+    1M-token docs automatically routes them to tiles at ~17k instead of
+    silently scheduling 8.5h single tasks."""
+    if corpus_max_tokens <= 0:
+        return floor_tokens
+    n_budget = int((2.0 * task_budget_sec * half_pairs_per_sec) ** 0.5)
+    return max(floor_tokens, min(int(corpus_max_tokens), n_budget))
