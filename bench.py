@@ -200,6 +200,37 @@ def main() -> None:
         times[name] = min(suite_runs[name])
     extra["suite_runs"] = suite_runs
 
+    # ---- physical retention expiry at bench scale (north rule:
+    # "retention engine") ----
+    # compact the full 1m fine tier (~n_tokens/60 rows) with the
+    # snapshot-committed drop_chunks-analog job: stage + watermark +
+    # rewrite + manifests, 8 commit groups. Measures the storage-rewrite
+    # path end-to-end (the serving-view identity over the result is
+    # pytest/oracle territory, not re-proved here).
+    import shutil
+    import tempfile
+
+    from matrixprofiler_spark.streaming.expiry import RetentionExpiryJob
+
+    exp_base = tempfile.mkdtemp(prefix="bench_expiry_")
+    try:
+        fine_1m = keeper["rolled"].filter(F.col("tier") == "1m").select(
+            "doc_id", "source", "tier", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v")
+        t0 = time.time()
+        ejob = RetentionExpiryJob(spark, exp_base, fine_size=60,
+                                  coarse_size=3600, horizon=7200, n_groups=8)
+        ejob.run(fine_1m)
+        times["retention_expiry"] = time.time() - t0
+        em = ejob.metrics()
+        extra["expiry_rows_before"] = em["rows_before"]
+        extra["expiry_rows_dropped"] = em["rows_dropped"]
+        extra["expiry_rows_per_sec"] = (
+            em["rows_before"] / times["retention_expiry"]
+            if times["retention_expiry"] else 0.0)
+    finally:
+        shutil.rmtree(exp_base, ignore_errors=True)
+
     # ---- matrix profile over 100% of docs (no silent exclusion) ----
     # routing: docs within the blob operator's cap run as one-task-per-doc
     # MPX blobs (zero truncation at this cut); longer docs route through
