@@ -214,15 +214,20 @@ def q_retention_expiry(spark, sf_dir, sink_dir=None):
 
     base = sink_dir or tempfile.mkdtemp(prefix="retention_expiry_")
     try:
-        fine = finest_rollup(_tok(spark, sf_dir), BUCKET)
+        # persist: the fingerprint aggregate + staged write + the resume
+        # run's re-fingerprint all read the rollup; without the cache the
+        # raw-token Arrow kernel would run once per pass
+        _face_caches_clear()
+        fine = _face_cache(finest_rollup(_tok(spark, sf_dir), BUCKET))
         job = RetentionExpiryJob(
             spark, base, BUCKET, BUCKET_COARSE, RET_HORIZON, n_groups=4)
         if not job.completed_groups():
             try:
                 job.run(fine, fail_after=2)
                 raise AssertionError("injected failure did not fire")
-            except RuntimeError:
-                pass
+            except RuntimeError as e:
+                if "injected failure" not in str(e):
+                    raise  # a REAL failure must surface, not masquerade
             job = RetentionExpiryJob(
                 spark, base, BUCKET, BUCKET_COARSE, RET_HORIZON, n_groups=4)
             if len(job.completed_groups()) != 2:
@@ -2944,8 +2949,9 @@ def q_checkpoint_rollup_resume(spark, sf_dir, sink_dir: str | None = None):
             try:
                 job.run(toks, fail_after=2)
                 raise AssertionError("injected failure did not fire")
-            except RuntimeError:
-                pass
+            except RuntimeError as e:
+                if "injected failure" not in str(e):
+                    raise  # a REAL failure must surface, not masquerade
             resumed = RollupJob(spark, base, n_groups=4, bucket_size=BUCKET)
             if len(resumed.completed_groups()) != 2:
                 raise AssertionError("expected exactly 2 committed groups")

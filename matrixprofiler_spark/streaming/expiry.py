@@ -102,20 +102,29 @@ class RetentionExpiryJob:
         ]
 
     def input_fingerprint(self, fine: DataFrame) -> dict:
-        """Order-independent identity of the fine store: row count +
-        bit_xor over a full-row hash (every stat column participates, so
-        same-shape/different-values inputs cannot alias). One map-side
-        combinable aggregate."""
+        """Order-independent identity of the fine store: row count + SUM
+        of a full-row hash (decimal(38,0), so 2^63-scale addends cannot
+        overflow at any realistic row count). Every stat column
+        participates, and — unlike a bit_xor, where a duplicated row
+        pair XORs to zero — summation is duplicate-sensitive, so
+        same-shape inputs differing only in repeated rows cannot alias.
+        The job's shape parameters (n_groups included: a resume with
+        fewer groups would silently orphan the higher staged groups)
+        ride along, making the base dir bind to one (input, policy,
+        grouping) triple. One map-side-combinable aggregate."""
         r = fine.agg(
             F.count("*").alias("n"),
-            F.expr(
-                "bit_xor(xxhash64(doc_id, source, bucket, cnt, sum_v,"
-                " sumsq, min_v, max_v))"
+            F.sum(
+                F.expr(
+                    "xxhash64(doc_id, source, bucket, cnt, sum_v,"
+                    " sumsq, min_v, max_v)"
+                ).cast("decimal(38,0)")
             ).alias("h"),
         ).collect()[0]
         return {
-            "n": int(r["n"]), "h": int(r["h"] or 0),
-            "policy": [self.fine_size, self.coarse_size, self.horizon],
+            "n": int(r["n"]), "h": str(r["h"] or 0),
+            "policy": [self.fine_size, self.coarse_size, self.horizon,
+                       self.n_groups],
         }
 
     def stage_input(self, fine: DataFrame) -> DataFrame:
@@ -132,20 +141,29 @@ class RetentionExpiryJob:
             old = json.loads(fp_path.read_text()) if fp_path.exists() else None
             if old == fp:
                 return self.spark.read.parquet(str(staged))
-            raise ValueError(
-                f"base dir {self.base} was staged for fingerprint/policy "
-                f"{old}, got {fp}; a base dir binds to one input and one "
-                "retention policy — use a fresh base dir"
-            )
+            if old is not None:
+                raise ValueError(
+                    f"base dir {self.base} was staged for fingerprint/"
+                    f"policy {old}, got {fp}; a base dir binds to one "
+                    "input and one retention policy — use a fresh base dir"
+                )
+            # _SUCCESS present but no fingerprint: a run by code that
+            # wrote data-first died in the gap. Manifests cannot exist
+            # yet (they are written only after staging completes), so
+            # restaging is safe — fall through.
+        # fingerprint FIRST (write-then-rename), data second: a crash
+        # mid-staging leaves fp-without-_SUCCESS and the next run simply
+        # restages; the old data-first order left _SUCCESS-without-fp,
+        # which bricked an untouched base dir on resume.
+        tmp = self.base / ".input_fingerprint.json.tmp"
+        tmp.write_text(json.dumps(fp))
+        os.replace(tmp, fp_path)
         (
             fine.withColumn("grp", self.group_col())
             .write.mode("overwrite")
             .partitionBy("grp")
             .parquet(str(staged))
         )
-        tmp = self.base / ".input_fingerprint.json.tmp"
-        tmp.write_text(json.dumps(fp))
-        os.replace(tmp, fp_path)
         return self.spark.read.parquet(str(staged))
 
     # ------------------------------------------------------------- run

@@ -146,6 +146,30 @@ def test_base_dir_binds_input_and_policy(spark, fine, tmp_path_factory):
     with pytest.raises(ValueError, match="binds to one input"):
         job_c.run(fine)
 
+    # changed GROUPING: resuming with fewer groups would silently orphan
+    # the higher staged groups from the compacted store -> also loud
+    job_d = RetentionExpiryJob(spark, base, FINE, COARSE, HORIZON,
+                               n_groups=1)
+    with pytest.raises(ValueError, match="binds to one input"):
+        job_d.run(fine)
+
+
+def test_torn_staging_resumes(spark, fine, tmp_path_factory):
+    """Crash between the fingerprint write and the staged-data write (the
+    fp-first commit order's only gap) must RESTAGE on the next run, not
+    brick the base dir."""
+    base = tmp_path_factory.mktemp("expiry_torn")
+    job = RetentionExpiryJob(spark, base, FINE, COARSE, HORIZON, n_groups=2)
+    # simulate the torn state: fingerprint present, no staged _SUCCESS
+    import json as _json
+
+    (base / "input_fingerprint.json").write_text(
+        _json.dumps(job.input_fingerprint(fine)))
+    assert not (base / "fine_staged" / "_SUCCESS").exists()
+    job.run(fine)  # restages and completes
+    assert len(job.completed_groups()) == 2
+    assert _rows(job.result()) == _rows(_expected_kept(fine))
+
 
 def test_param_validation(spark, fine, tmp_path_factory):
     base = tmp_path_factory.mktemp("expiry_val")
