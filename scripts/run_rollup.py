@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--groups", type=int, default=64)
     ap.add_argument("--window", type=int, default=128)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--expire-horizon", type=int, default=None,
+        help="token-offset retention horizon; when set, runs the "
+             "drop_chunks-analog compaction (streaming/expiry.py) of the "
+             "committed 1m tier into <output>/expiry — fine buckets whose "
+             "serving responsibility has passed to the 1h tier are "
+             "physically dropped (snapshot-committed, resumable)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,11 +68,26 @@ def main() -> None:
         spark.read.parquet(ws_path).agg(F.sum("n_windows")).collect()[0][0] or 0
     )
 
+    expiry_metrics = None
+    if args.expire_horizon is not None:
+        from matrixprofiler_spark.streaming.expiry import RetentionExpiryJob
+
+        fine = job.result().select(
+            "doc_id", "source", "tier", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v")
+        ejob = RetentionExpiryJob(
+            spark, Path(args.output) / "expiry",
+            fine_size=job.bucket_size, coarse_size=3600,
+            horizon=args.expire_horizon, n_groups=args.groups)
+        ejob.run(fine)
+        expiry_metrics = ejob.metrics()
+
     print(json.dumps({
         "groups_processed_this_run": processed,
         "run_elapsed_sec": round(time.time() - t0, 3),
         "window_points": int(window_points),
         "cumulative": metrics,
+        "expiry": expiry_metrics,
     }))
     spark.stop()
 
