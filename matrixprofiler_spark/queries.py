@@ -276,6 +276,107 @@ FROM kept
 """
 
 
+def q_retention_expiry_tiers(spark, sf_dir, sink_dir=None):
+    """N-tier physical expiry (streaming/expiry.py
+    RetentionExpiryJobMulti): the full drop_chunks-per-hypertable analog
+    — EVERY non-coarsest tier of the 16/32/64 cascade is compacted by
+    its own aligned cutoff (the retention_tiers_3 policy), in one
+    group-atomic snapshot-committed job. Run through an injected
+    mid-run kill + resume like the 2-tier face; the output embeds BOTH
+    per-tier expired-row censuses (capfire pattern, recomputed
+    independently by the oracle), so the driver hash certifies that the
+    resumed store physically dropped rows from each tier."""
+    import shutil
+    import tempfile
+
+    from .streaming.expiry import RetentionExpiryJobMulti
+
+    sizes = [BUCKET, 2 * BUCKET, 4 * BUCKET]
+    horizons = [BUCKET, 2 * BUCKET]
+    base = sink_dir or tempfile.mkdtemp(prefix="retention_expiry_tiers_")
+    try:
+        _face_caches_clear()
+        m1 = _face_cache(finest_rollup(_tok(spark, sf_dir), BUCKET))
+        m2 = cascade_tier(m1, BUCKET, 2 * BUCKET, "2m")
+        job = RetentionExpiryJobMulti(
+            spark, base, sizes, horizons, n_groups=4)
+        if not job.completed_groups():
+            try:
+                job.run([m1, m2], fail_after=2)
+                raise AssertionError("injected failure did not fire")
+            except RuntimeError as e:
+                if "injected failure" not in str(e):
+                    raise  # a REAL failure must surface, not masquerade
+            job = RetentionExpiryJobMulti(
+                spark, base, sizes, horizons, n_groups=4)
+            if len(job.completed_groups()) != 2:
+                raise AssertionError("expected exactly 2 committed groups")
+        job.run([m1, m2])
+        census = job.metrics()["tiers"]
+        out = job.result().select(
+            "doc_id", F.col("tier_idx").cast("int").alias("tier_idx"),
+            "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v",
+            F.lit(int(census[0]["rows_dropped"]))
+            .cast("long").alias("nd_fine"),
+            F.lit(int(census[1]["rows_dropped"]))
+            .cast("long").alias("nd_mid"),
+        )
+        if sink_dir is not None:
+            return out
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if sink_dir is None:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_RETENTION_EXPIRY_TIERS = f"""
+WITH {TOK_CTE},
+f AS (
+  SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_id, (pos - 1) // {2 * BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+wm AS (SELECT doc_id, (MAX(bucket) + 1) * {BUCKET} AS wm FROM f GROUP BY 1),
+cut AS (
+  SELECT doc_id,
+         CAST(FLOOR((wm - {BUCKET}) / {2 * BUCKET}.0)
+              * {2 * BUCKET} AS BIGINT) AS cut0,
+         CAST(FLOOR((wm - {2 * BUCKET}) / {4 * BUCKET}.0)
+              * {4 * BUCKET} AS BIGINT) AS cut1
+  FROM wm
+),
+k0 AS (
+  SELECT f.doc_id, CAST(0 AS INT) AS tier_idx,
+         CAST(f.bucket AS BIGINT) AS bucket, cnt, sum_v, sumsq, min_v, max_v
+  FROM f JOIN cut ON f.doc_id = cut.doc_id
+  WHERE (f.bucket + 1) * {BUCKET} > cut0
+),
+k1 AS (
+  SELECT m.doc_id, CAST(1 AS INT) AS tier_idx,
+         CAST(m.bucket AS BIGINT) AS bucket, cnt, sum_v, sumsq, min_v, max_v
+  FROM m JOIN cut ON m.doc_id = cut.doc_id
+  WHERE (m.bucket + 1) * {2 * BUCKET} > cut1
+),
+kept AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
+SELECT kept.*,
+       CAST((SELECT COUNT(*) FROM f) - (SELECT COUNT(*) FROM k0)
+            AS BIGINT) AS nd_fine,
+       CAST((SELECT COUNT(*) FROM m) - (SELECT COUNT(*) FROM k1)
+            AS BIGINT) AS nd_mid
+FROM kept
+"""
+
+
 def q_retention_tiers_3(spark, sf_dir):
     """Three-tier retention serving view over the nested 16/32/64 cascade
     (labels 1m/2m/4m): offsets newer than 16 at the finest tier, 16..32
@@ -3512,14 +3613,16 @@ def queries() -> dict:
     # driver row is two rounds old (the previous round's tail), (c)
     # operational keepers; everything displaced to the tail is
     # driver-green in the immediately preceding round's artifact.
-    # Round 6 head = retention_expiry (new) + the 24 r5-tail entries
-    # (last driver row r4 / judge-verified r5) + the 7 faces touched by
-    # this round's hardening (retention/gapfill/cascade/asof) + 18
-    # keepers. The 25 displaced faces are ALL driver-green in
-    # CORRECTNESS_r05.json (commit 4dd049e) with code unchanged since.
+    # Round 6 head = retention_expiry + retention_expiry_tiers (new) +
+    # the 24 r5-tail entries (last driver row r4 / judge-verified r5) +
+    # the 7 faces touched by this round's hardening (retention/gapfill/
+    # cascade/asof) + 17 keepers. The 26 displaced faces are ALL
+    # driver-green in CORRECTNESS_r05.json (commit 4dd049e) with code
+    # unchanged since.
     q = {
         # -- new this round: physical expiry (north-rule completion) -----
         "retention_expiry": q_retention_expiry,
+        "retention_expiry_tiers": q_retention_expiry_tiers,
         # -- code-changed this round (floor/fail-fast/cache hardening) ---
         "retention_policy": q_retention_policy,
         "retention_tiers_3": q_retention_tiers_3,
@@ -3571,9 +3674,11 @@ def queries() -> dict:
         "ann_ivf_topk": q_ann_ivf_topk,
         "vocab_coverage": q_vocab_coverage,
         "token_percentiles": q_token_percentiles,
-        "downsample_lttb": q_downsample_lttb,
         # ---- driver window ends after the 50th entry above -------------
-        # -- tail: 25 faces, ALL driver-green in CORRECTNESS_r05.json ----
+        # -- tail: 26 faces, ALL driver-green in CORRECTNESS_r05.json ----
+        # (downsample_lttb displaced by retention_expiry_tiers; its last
+        # driver row is r5-green, so the two-round rule holds)
+        "downsample_lttb": q_downsample_lttb,
         "sliding_stats_w8": q_sliding_stats,
         "zero_crossings_w16": q_zero_crossings,
         "complexity": q_complexity,
@@ -3606,6 +3711,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "retention_expiry": SQL_RETENTION_EXPIRY,
+        "retention_expiry_tiers": SQL_RETENTION_EXPIRY_TIERS,
         "retention_policy": SQL_RETENTION_POLICY,
         "retention_tiers_3": SQL_RETENTION_TIERS_3,
         "gapfill_locf": SQL_GAPFILL_LOCF,

@@ -62,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import __version__
-from ..operators.rollup import retention_policy
+from ..operators.rollup import retention_policy, retention_policy_multi
 from .checkpoint import read_manifest
 
 STAGE = "expiry"
@@ -278,3 +278,258 @@ class RetentionExpiryJob:
             "rows_after": sum(m["rows_after"] for m in ms),
             "elapsed_sec": round(sum(m["elapsed_sec"] for m in ms), 3),
         }
+
+
+class RetentionExpiryJobMulti(RetentionExpiryJob):
+    """N-tier physical expiry: compacts EVERY non-coarsest tier of the
+    cascade by its own cutoff — the full ``drop_chunks``-per-hypertable
+    analog for the raw->1m->1h->1d cascade that
+    ``retention_policy_multi`` serves.
+
+    ``sizes`` is the full finest-first nested tier-size list (coarsest
+    included — it defines the alignment grid of the last cutoff);
+    ``horizons`` has ``len(sizes)-1`` entries, nondecreasing
+    finest-first, exactly as the serving view takes them. ``run`` takes
+    the list of the ``len(sizes)-1`` non-coarsest tier stores
+    finest-first; the coarsest tier is never compacted (it serves
+    everything older than every cutoff, forever).
+
+    Tier ``i``'s drop predicate is the complement of its serving range's
+    reachable side: the view serves tier i on ``(cut[i], cut[i-1]]``,
+    and as the watermark advances, ``cut[i-1]`` only moves FORWARD — so
+    a row with ``(bucket+1)*sizes[i] <= cut[i]`` can never be served
+    again (cut[i] also only advances) and is physically dropped, while
+    rows above ``cut[i-1]`` (not served YET) must be kept.
+    ``cut[i] = floor((wm - horizons[i]) / sizes[i+1]) * sizes[i+1]``,
+    with ``wm`` the pre-compaction FINEST-tier watermark — identical
+    math to the serving view, so view-over-compacted ==
+    view-over-full row for row (pytest-asserted, and the 2-tier
+    special case is bit-identical to :class:`RetentionExpiryJob`).
+
+    Commit contract, layout, and scale shape are the parent's, with the
+    staged store additionally hive-partitioned by ``tier_idx`` (each
+    (group, tier) a pruned read; at 1000 executors each group maps to
+    an Iceberg REPLACE WHERE on that tier's partition spec; the
+    compacted group is written unpartitioned with ``tier_idx`` as a
+    data column so an emptied group stays readable).
+    One manifest per GROUP covers all tiers with a per-tier
+    row census — a group commit is atomic across tiers, so a resume
+    never serves a half-compacted cascade slice."""
+
+    def __init__(self, spark: SparkSession, base_dir: str | Path,
+                 sizes: list[int], horizons: list[int], n_groups: int = 8):
+        if len(sizes) < 2 or len(horizons) != len(sizes) - 1:
+            raise ValueError(
+                "need >=2 tier sizes and exactly len(sizes)-1 horizons")
+        for finer, coarser in zip(sizes, sizes[1:]):
+            if coarser % finer:
+                raise ValueError(
+                    f"tier sizes must nest: {coarser} % {finer} != 0")
+        if any(h < 0 for h in horizons):
+            raise ValueError("horizon must be nonnegative")
+        if any(b < a for a, b in zip(horizons, horizons[1:])):
+            raise ValueError("horizons must be nondecreasing finest-first")
+        # parent init with the finest pair keeps the shared helpers
+        # (group_col / completed_groups / readers) working unchanged
+        super().__init__(spark, base_dir, sizes[0], sizes[-1],
+                         horizons[0], n_groups=n_groups)
+        self.sizes = list(sizes)
+        self.horizons = list(horizons)
+
+    # ---------------------------------------------------------- staging
+
+    def input_fingerprint(self, tiers: list[DataFrame]) -> dict:
+        """Parent fingerprint generalized: per-tier (count, hash-sum)
+        pairs — tier_idx participates via position, so swapping two
+        same-shape tiers cannot alias — plus the full policy vector."""
+        per_tier = []
+        for df in tiers:
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.expr(
+                        "xxhash64(doc_id, source, bucket, cnt, sum_v,"
+                        " sumsq, min_v, max_v)"
+                    ).cast("decimal(38,0)")
+                ).alias("h"),
+            ).collect()[0]
+            per_tier.append([int(r["n"]), str(r["h"] or 0)])
+        return {
+            "tiers": per_tier,
+            "policy": [self.sizes, self.horizons, self.n_groups],
+        }
+
+    def stage_input(self, tiers: list[DataFrame]) -> DataFrame:
+        if len(tiers) != len(self.sizes) - 1:
+            raise ValueError(
+                f"expected {len(self.sizes) - 1} non-coarsest tier stores,"
+                f" got {len(tiers)}")
+        staged = self.base / "tiers_staged"
+        fp_path = self.base / "input_fingerprint.json"
+        fp = self.input_fingerprint(tiers)
+        if (staged / "_SUCCESS").exists():
+            old = json.loads(fp_path.read_text()) if fp_path.exists() else None
+            if old == fp:
+                return self.spark.read.parquet(str(staged))
+            if old is not None:
+                raise ValueError(
+                    f"base dir {self.base} was staged for fingerprint/"
+                    f"policy {old}, got {fp}; a base dir binds to one "
+                    "input and one retention policy — use a fresh base dir"
+                )
+        # fingerprint FIRST, data second (same torn-staging reasoning as
+        # the parent: fp-without-_SUCCESS restages; never the reverse)
+        tmp = self.base / ".input_fingerprint.json.tmp"
+        tmp.write_text(json.dumps(fp))
+        os.replace(tmp, fp_path)
+        union = None
+        for i, df in enumerate(tiers):
+            part = df.withColumn("tier_idx", F.lit(i)) \
+                     .withColumn("grp", self.group_col())
+            union = part if union is None else union.unionByName(part)
+        (
+            union.write.mode("overwrite")
+            .partitionBy("grp", "tier_idx")
+            .parquet(str(staged))
+        )
+        return self.spark.read.parquet(str(staged))
+
+    # ------------------------------------------------------------- run
+
+    def run(self, tiers: list[DataFrame],
+            fail_after: int | None = None) -> list[int]:
+        done = set(self.completed_groups())
+        staged = self.stage_input(tiers)
+        fp = json.loads((self.base / "input_fingerprint.json").read_text())
+        fine_size = self.sizes[0]
+        processed = []
+        for k in range(self.n_groups):
+            if k in done:
+                continue
+            if fail_after is not None and len(processed) >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {fail_after} groups")
+            t0 = time.time()
+            grp = staged.filter(F.col("grp") == k).drop("grp")
+            wm = (
+                grp.filter(F.col("tier_idx") == 0)
+                .groupBy("doc_id", "source")
+                .agg(((F.max("bucket") + 1) * fine_size).alias("wm"))
+            )
+            wm_path = str(self.base / "watermarks" / f"grp={k}")
+            wm.write.mode("overwrite").parquet(wm_path)
+            wm_c = self.spark.read.parquet(wm_path)
+            # per-tier keep predicate, dispatched on tier_idx in ONE pass
+            # over the group — a single join + filter + write, not T jobs
+            joined = grp.join(wm_c, ["doc_id", "source"])
+            keep = F.lit(False)
+            for i, h in enumerate(self.horizons):
+                cut = (
+                    F.floor((F.col("wm") - F.lit(h)) / self.sizes[i + 1])
+                    * self.sizes[i + 1]
+                ).cast("long")
+                end = (F.col("bucket") + 1) * self.sizes[i]
+                keep = F.when(F.col("tier_idx") == i, end > cut) \
+                        .otherwise(keep)
+            kept = joined.where(keep).drop("wm")
+            out_path = str(self.base / "compacted" / f"grp={k}")
+            # tier_idx stays a DATA column (no partitionBy): an empty
+            # hive-partitioned write emits no files at all, so a fully
+            # expired group (or store) would become unreadable; the
+            # unpartitioned write always leaves a schema-bearing part
+            # file. At Iceberg scale the per-tier pruning this forgoes
+            # comes back for free from the table's partition spec.
+            kept.write.mode("overwrite").parquet(out_path)
+            committed = self.spark.read.parquet(out_path)
+            before = {
+                int(r["tier_idx"]): int(r["n"])
+                for r in grp.groupBy("tier_idx").agg(
+                    F.count("*").alias("n")).collect()
+            }
+            after = {
+                int(r["tier_idx"]): int(r["n"])
+                for r in committed.groupBy("tier_idx").agg(
+                    F.count("*").alias("n")).collect()
+            }
+            n_tiers = len(self.horizons)
+            tier_census = [
+                {
+                    "tier_idx": i,
+                    "rows_before": before.get(i, 0),
+                    "rows_dropped": before.get(i, 0) - after.get(i, 0),
+                    "rows_after": after.get(i, 0),
+                }
+                for i in range(n_tiers)
+            ]
+            elapsed = time.time() - t0
+            rows_before = sum(c["rows_before"] for c in tier_census)
+            manifest = {
+                "stage": STAGE,
+                "part": k,
+                "rows_before": rows_before,
+                "rows_dropped": sum(c["rows_dropped"] for c in tier_census),
+                "rows_after": sum(c["rows_after"] for c in tier_census),
+                "tiers": tier_census,
+                "policy": {"sizes": self.sizes, "horizons": self.horizons},
+                "elapsed_sec": round(elapsed, 3),
+                "rows_per_sec": round(rows_before / elapsed, 1)
+                if elapsed else None,
+                "kernel_version": __version__,
+                "input_fingerprint": fp,
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            tmp = self.base / "manifests" / f".{STAGE}_{k}.json.tmp"
+            tmp.write_text(json.dumps(manifest))
+            os.replace(tmp, self.base / "manifests" / f"{STAGE}_{k}.json")
+            processed.append(k)
+        if len(self.completed_groups()) == self.n_groups:
+            (self.base / f"_stage_{STAGE}_COMMITTED").touch()
+        return processed
+
+    # --------------------------------------------------------- reading
+
+    def result(self) -> DataFrame:
+        """All compacted tiers (``tier_idx`` column kept; full commit
+        required)."""
+        self._require_committed()
+        return (
+            self.spark.read.parquet(str(self.base / "compacted"))
+            .drop("grp")
+        )
+
+    def result_tier(self, i: int) -> DataFrame:
+        """Compacted store of tier ``i`` (0 = finest)."""
+        if not 0 <= i < len(self.sizes) - 1:
+            raise ValueError(
+                f"tier_idx must be in [0, {len(self.sizes) - 2}] — the "
+                "coarsest tier is never compacted")
+        return self.result().filter(F.col("tier_idx") == i).drop("tier_idx")
+
+    def serving_view(self, coarsest: DataFrame) -> DataFrame:
+        """N-tier retention serving view over the COMPACTED tiers + the
+        stored watermark; row-identical to the view over the full
+        stores (pytest-asserted)."""
+        tiers = [
+            (self.result_tier(i), s)
+            for i, s in enumerate(self.sizes[:-1])
+        ] + [(coarsest, self.sizes[-1])]
+        return retention_policy_multi(
+            tiers, self.horizons, watermark=self.watermarks())
+
+    def metrics(self) -> dict:
+        out = super().metrics()
+        ms = [read_manifest(self.base, STAGE, k)
+              for k in range(self.n_groups)]
+        ms = [m for m in ms if m is not None]
+        n_tiers = len(self.horizons)
+        out["tiers"] = [
+            {
+                "tier_idx": i,
+                "rows_before": sum(m["tiers"][i]["rows_before"] for m in ms),
+                "rows_dropped": sum(m["tiers"][i]["rows_dropped"] for m in ms),
+                "rows_after": sum(m["tiers"][i]["rows_after"] for m in ms),
+            }
+            for i in range(n_tiers)
+        ]
+        return out

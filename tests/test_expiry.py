@@ -177,3 +177,139 @@ def test_param_validation(spark, fine, tmp_path_factory):
         RetentionExpiryJob(spark, base, 16, 40, 32)
     with pytest.raises(ValueError, match="nonnegative"):
         RetentionExpiryJob(spark, base, 16, 64, -1)
+
+
+# ---------------------------------------------------------------- multi-tier
+
+
+def _expected_kept_tier(tier_df, size, align_size, horizon, wm_df):
+    cut = (F.floor((F.col("wm") - horizon) / align_size) * align_size
+           ).cast("long")
+    return (tier_df.join(wm_df, ["doc_id", "source"])
+            .where((F.col("bucket") + 1) * size > cut).drop("wm"))
+
+
+def test_multi_kill_resume_and_identity(spark, fine, tmp_path_factory):
+    """3-tier cascade (16/32/64, horizons 16/32 — the retention_tiers_3
+    policy): kill-and-resume, per-tier compaction == the serving
+    predicate's complement, and the N-tier serving view over the
+    compacted tiers + stored watermark is row-identical to the view
+    over the full stores."""
+    from matrixprofiler_spark.operators.rollup import retention_policy_multi
+    from matrixprofiler_spark.streaming.expiry import RetentionExpiryJobMulti
+
+    m2 = cascade_tier(fine, FINE, 2 * FINE, "2m").cache()
+    m4 = cascade_tier(fine, FINE, 4 * FINE, "4m").cache()
+    sizes, horizons = [FINE, 2 * FINE, 4 * FINE], [FINE, 2 * FINE]
+    base = tmp_path_factory.mktemp("expiry_multi")
+    job = RetentionExpiryJobMulti(spark, base, sizes, horizons, n_groups=4)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run([fine, m2], fail_after=2)
+    assert len(job.completed_groups()) == 2
+    with pytest.raises(RuntimeError, match="expiry incomplete"):
+        job.result()
+
+    job2 = RetentionExpiryJobMulti(spark, base, sizes, horizons, n_groups=4)
+    assert len(job2.run([fine, m2])) == 2
+    assert (base / "_stage_expiry_COMMITTED").exists()
+    assert job2.run([fine, m2]) == []  # idempotent
+
+    # per-tier compaction matches the predicate applied to the full store
+    wm = fine.groupBy("doc_id", "source").agg(
+        ((F.max("bucket") + 1) * FINE).alias("wm"))
+    assert _rows(job2.result_tier(0)) == _rows(
+        _expected_kept_tier(fine, FINE, 2 * FINE, FINE, wm))
+    assert _rows(job2.result_tier(1)) == _rows(
+        _expected_kept_tier(m2, 2 * FINE, 4 * FINE, 2 * FINE, wm))
+
+    # both tiers actually dropped rows at this corpus, and censuses add up
+    m = job2.metrics()
+    assert all(t["rows_dropped"] > 0 for t in m["tiers"])
+    assert m["rows_before"] == m["rows_dropped"] + m["rows_after"]
+    assert m["rows_before"] == fine.count() + m2.count()
+
+    # THE invariant, N-tier form
+    view_full = retention_policy_multi(
+        [(fine, FINE), (m2, 2 * FINE), (m4, 4 * FINE)], horizons)
+    assert _rows(job2.serving_view(m4)) == _rows(view_full)
+
+
+def test_multi_two_tier_special_case_matches_single(
+        spark, fine, tmp_path_factory):
+    """RetentionExpiryJobMulti([fine,coarse], [h]) must compact the fine
+    tier bit-identically to the dedicated 2-tier RetentionExpiryJob."""
+    from matrixprofiler_spark.streaming.expiry import RetentionExpiryJobMulti
+
+    b1 = tmp_path_factory.mktemp("expiry_single")
+    b2 = tmp_path_factory.mktemp("expiry_as_multi")
+    single = RetentionExpiryJob(spark, b1, FINE, COARSE, HORIZON, n_groups=3)
+    single.run(fine)
+    multi = RetentionExpiryJobMulti(
+        spark, b2, [FINE, COARSE], [HORIZON], n_groups=3)
+    multi.run([fine])
+    assert _rows(multi.result_tier(0)) == _rows(single.result())
+    sm, mm = single.metrics(), multi.metrics()
+    assert (sm["rows_before"], sm["rows_dropped"], sm["rows_after"]) == \
+           (mm["rows_before"], mm["rows_dropped"], mm["rows_after"])
+
+
+def test_multi_full_expiry_edge(spark, tmp_path_factory):
+    """horizon=0 everywhere with wm on the coarsest boundary expires a
+    doc from EVERY compacted tier; only the stored watermark keeps the
+    N-tier serving view identical (doc served by the coarsest alone)."""
+    from matrixprofiler_spark.operators.rollup import retention_policy_multi
+    from matrixprofiler_spark.streaming.expiry import RetentionExpiryJobMulti
+
+    rows = [("a", "s", "1m", b, 16, 80, 400, 5, 5) for b in range(8)]
+    fine = spark.createDataFrame(
+        rows, "doc_id string, source string, tier string, bucket long,"
+              " cnt long, sum_v long, sumsq long, min_v int, max_v int")
+    m2 = cascade_tier(fine, FINE, 2 * FINE, "2m")
+    m4 = cascade_tier(fine, FINE, 4 * FINE, "4m")
+    base = tmp_path_factory.mktemp("expiry_multi_edge")
+    job = RetentionExpiryJobMulti(
+        spark, base, [FINE, 2 * FINE, 4 * FINE], [0, 0], n_groups=2)
+    job.run([fine, m2])
+    assert job.result().count() == 0  # both compacted tiers emptied
+    view = job.serving_view(m4)
+    full = retention_policy_multi(
+        [(fine, FINE), (m2, 2 * FINE), (m4, 4 * FINE)], [0, 0])
+    assert _rows(view) == _rows(full)
+    assert view.filter(F.col("tier") == "4m").count() == 2  # coarse serves
+
+
+def test_multi_binding_and_validation(spark, fine, tmp_path_factory):
+    from matrixprofiler_spark.streaming.expiry import RetentionExpiryJobMulti
+
+    m2 = cascade_tier(fine, FINE, 2 * FINE, "2m")
+    base = tmp_path_factory.mktemp("expiry_multi_bind")
+    job = RetentionExpiryJobMulti(
+        spark, base, [FINE, 2 * FINE, 4 * FINE], [FINE, 2 * FINE],
+        n_groups=2)
+    job.run([fine, m2])
+    # swapped same-shape tier list aliases nothing — positional fingerprint
+    job_b = RetentionExpiryJobMulti(
+        spark, base, [FINE, 2 * FINE, 4 * FINE], [FINE, 2 * FINE],
+        n_groups=2)
+    with pytest.raises(ValueError, match="binds to one input"):
+        job_b.run([m2, fine])
+    # changed horizons -> loud
+    job_c = RetentionExpiryJobMulti(
+        spark, base, [FINE, 2 * FINE, 4 * FINE], [FINE, 4 * FINE],
+        n_groups=2)
+    with pytest.raises(ValueError, match="binds to one input"):
+        job_c.run([fine, m2])
+
+    with pytest.raises(ValueError, match="must nest"):
+        RetentionExpiryJobMulti(spark, base, [16, 40, 80], [0, 0])
+    with pytest.raises(ValueError, match="nondecreasing"):
+        RetentionExpiryJobMulti(spark, base, [16, 32, 64], [32, 16])
+    with pytest.raises(ValueError, match="exactly len"):
+        RetentionExpiryJobMulti(spark, base, [16, 32], [0, 0])
+    with pytest.raises(ValueError, match="non-coarsest tier stores"):
+        RetentionExpiryJobMulti(
+            spark, tmp_path_factory.mktemp("expiry_multi_bad"),
+            [16, 32, 64], [0, 0], n_groups=2).run([fine])
+    with pytest.raises(ValueError, match="never compacted"):
+        job.result_tier(2)
