@@ -10,19 +10,22 @@ Decoder coverage (refuses loudly outside it):
 * fixed-blocksize frames, all block-size codes incl. 8/16-bit tails
 * channel assignments: independent (any count), left/side, right/side,
   mid/side
-* subframes: CONSTANT, VERBATIM, FIXED orders 0-4, with wasted bits
+* subframes: CONSTANT, VERBATIM, FIXED orders 0-4, and LPC orders 1-32
+  (quantized integer predictors, arithmetic right-shift per spec), with
+  wasted bits
 * residuals: Rice method 0 (4-bit params) and 1 (5-bit params), any
   partition order, escape partitions
 * CRC-8 of every frame header and CRC-16 of every frame are VERIFIED
 
-Out of subset: LPC subframes (order-N quantized predictors) and sample
-sizes other than 8/16 raise NotImplementedError — the writer below never
-emits them, and the error names the construct.
+Out of subset: sample sizes other than 8/16 raise NotImplementedError —
+the writer below never emits them, and the error names the construct.
 
 The encoder emits CONSTANT/FIXED subframes (best of orders 0-2 per
-channel, single Rice partition) — a real, spec-valid FLAC stream any
-conforming decoder plays — so tests can round-trip deterministic
-fixtures without an external reference encoder.
+channel, single Rice partition) — and, with ``max_lpc_order > 0``,
+real LPC subframes (windowless autocorrelation → Levinson-Durbin →
+quantized integer coefficients, cheapest of FIXED/LPC per channel) — a
+spec-valid FLAC stream any conforming decoder plays, so tests can
+round-trip deterministic fixtures without an external reference encoder.
 """
 
 from __future__ import annotations
@@ -134,13 +137,16 @@ def _unzigzag(v: int) -> int:
 # ---------------------------------------------------------------- encode
 
 def write_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096,
-               stereo_mode: str = "independent") -> bytes:
+               stereo_mode: str = "independent",
+               max_lpc_order: int = 0) -> bytes:
     """Encode int16 samples — 1-D (mono) or (n, channels) — as a valid
     FLAC stream: fixed block size, per-channel best-of CONSTANT /
     FIXED(0-2) subframes, one Rice partition. ``stereo_mode`` (2-channel
     input only): "independent", "left_side", "right_side" or "mid_side"
     — the inter-channel decorrelation variants, so decoder tests cover
-    every reconstruction path."""
+    every reconstruction path. ``max_lpc_order > 0`` additionally tries
+    quantized-LPC subframes up to that order and keeps whichever of
+    FIXED/LPC costs fewer bits per channel."""
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
@@ -159,7 +165,8 @@ def write_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096,
 
     for fno, start in enumerate(range(0, n, block_size)):
         blk = s[start : start + block_size]
-        out += _encode_frame(blk, fno, block_size, bps, stereo_mode)
+        out += _encode_frame(blk, fno, block_size, bps, stereo_mode,
+                             max_lpc_order)
     return bytes(out)
 
 
@@ -175,7 +182,8 @@ def _utf8_number(v: int) -> bytes:
 
 
 def _encode_frame(blk: np.ndarray, fno: int, declared_bs: int, bps: int,
-                  stereo_mode: str = "independent") -> bytes:
+                  stereo_mode: str = "independent",
+                  max_lpc_order: int = 0) -> bytes:
     bs, ch = blk.shape
     if stereo_mode == "independent":
         ca = ch - 1
@@ -204,13 +212,57 @@ def _encode_frame(blk: np.ndarray, fno: int, declared_bs: int, bps: int,
     w = _BitWriter()
     w.bytes = bytearray(head)
     for x, sub_bps in subs:
-        _encode_subframe(w, x, sub_bps)
+        _encode_subframe(w, x, sub_bps, max_lpc_order)
     w.align()
     body = bytes(w.bytes)
     return body + struct.pack(">H", _crc16(body))
 
 
-def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int):
+def _rice_param_and_cost(res: np.ndarray) -> tuple[int, int]:
+    zz = _zigzag(res)
+    mean = max(1.0, float(zz.mean()))
+    r = min(14, max(0, int(np.log2(mean))))
+    return r, int(zz.size * (r + 1) + (zz >> r).sum())
+
+
+def _levinson(x: np.ndarray, max_order: int) -> list[np.ndarray]:
+    """Float LPC coefficients for orders 1..max_order via autocorrelation
+    + Levinson-Durbin; returns the per-order coefficient vectors (the
+    public FLAC encoding recipe — spec §, no windowing needed for the
+    deterministic fixtures this encoder serves)."""
+    xf = x.astype(np.float64)
+    n = xf.size
+    ac = np.array([float(np.dot(xf[: n - k], xf[k:]))
+                   for k in range(max_order + 1)])
+    if ac[0] == 0.0:
+        return []
+    out = []
+    err = ac[0]
+    lpc = np.zeros(0)
+    for i in range(max_order):
+        acc = ac[i + 1] - (np.dot(lpc, ac[i:0:-1]) if i else 0.0)
+        if err <= 0.0:
+            break
+        k = acc / err
+        lpc = np.concatenate([lpc - k * lpc[::-1], [k]])
+        err *= 1.0 - k * k
+        out.append(lpc.copy())
+    return out
+
+
+def _quantize_lpc(lpc: np.ndarray, prec: int = 14) -> tuple[np.ndarray, int]:
+    cmax = float(np.abs(lpc).max())
+    if cmax <= 0.0:
+        return np.zeros(lpc.size, dtype=np.int64), 0
+    # choose the largest shift <= 15 keeping coefs inside prec signed bits
+    shift = min(15, max(0, (prec - 1) - int(np.floor(np.log2(cmax))) - 1))
+    q = np.round(lpc * (1 << shift)).astype(np.int64)
+    lim = 1 << (prec - 1)
+    return np.clip(q, -lim, lim - 1), shift
+
+
+def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int,
+                     max_lpc_order: int = 0):
     if np.all(x == x[0]):
         w.write(0b000000 << 1, 8)  # pad + CONSTANT + no wasted bits
         w.write(int(x[0]), bps)
@@ -222,18 +274,38 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int):
         res = x[order:].copy()
         for i, cf in enumerate(_FIXED_COEFS[order]):
             res = res - cf * x[order - 1 - i : x.size - 1 - i]
-        zz = _zigzag(res)
-        mean = max(1.0, float(zz.mean()))
-        r = min(14, max(0, int(np.log2(mean)) ))
-        cost = int(zz.size * (r + 1) + (zz >> r).sum())
+        r, cost = _rice_param_and_cost(res)
+        cost += order * bps
         if best_cost is None or cost < best_cost:
-            best, best_cost = (order, res, r), cost
-    order, res, r = best
+            best, best_cost = ("fixed", order, res, r, None), cost
+    PREC = 14
+    if max_lpc_order > 0:
+        for lpc in _levinson(x, min(max_lpc_order, 32, x.size - 1)):
+            order = lpc.size
+            qc, shift = _quantize_lpc(lpc, PREC)
+            pred = np.zeros(x.size - order, dtype=np.int64)
+            for j in range(order):
+                pred += qc[j] * x[order - 1 - j : x.size - 1 - j]
+            res = x[order:] - (pred >> shift)
+            r, cost = _rice_param_and_cost(res)
+            cost += order * (bps + PREC) + 4 + 5
+            if cost < best_cost:
+                best, best_cost = ("lpc", order, res, r, (qc, shift)), cost
+    kind, order, res, r, extra = best
     w.write(0, 1)
-    w.write(0b001000 | order, 6)  # FIXED, order
+    if kind == "fixed":
+        w.write(0b001000 | order, 6)  # FIXED, order
+    else:
+        w.write(0b100000 | (order - 1), 6)  # LPC, order-1
     w.write(0, 1)  # no wasted bits
     for i in range(order):
         w.write(int(x[i]), bps)
+    if kind == "lpc":
+        qc, shift = extra
+        w.write(PREC - 1, 4)
+        w.write(shift, 5)
+        for c in qc:
+            w.write(int(c), PREC)
     w.write(0, 2)   # residual method 0 (4-bit Rice)
     w.write(0, 4)   # partition order 0
     w.write(r, 4)
@@ -394,10 +466,24 @@ def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> np.ndarray:
                 pred += cf * x[i - 1 - j]
             x[i] = res[i - order] + pred
     elif stype >= 32:
-        raise NotImplementedError(
-            f"LPC subframe (order {stype - 31}) — outside the fixed-"
-            "predictor subset this decoder implements"
-        )
+        order = stype - 31
+        warm = [rd.read_signed(bps) for _ in range(order)]
+        prec = rd.read(4)
+        if prec == 15:
+            raise ValueError("invalid LPC precision code 15")
+        prec += 1
+        shift = rd.read_signed(5)
+        if shift < 0:
+            # the spec reserves negative shifts; reference decoders reject
+            raise ValueError("negative LPC shift")
+        coefs = np.array([rd.read_signed(prec) for _ in range(order)],
+                         dtype=np.int64)
+        res = _decode_residual(rd, bs, order)
+        x = np.empty(bs, dtype=np.int64)
+        x[:order] = warm
+        for i in range(order, bs):
+            pred = int(coefs @ x[i - order : i][::-1])
+            x[i] = res[i - order] + (pred >> shift)
     else:
         raise ValueError(f"reserved subframe type {stype}")
     return x << wasted

@@ -137,12 +137,12 @@ def decode_audio(payload: bytes, n_samples: int, fake: bool = False,
                  mode: str = "philox") -> np.ndarray:
     """Decode an audio payload to a float32 mono waveform in [-1, 1).
 
-    REAL paths: WAV (RIFF PCM 8/16-bit) and FLAC (fixed-predictor
-    subset: CONSTANT/VERBATIM/FIXED subframes, Rice residuals incl.
+    REAL paths: WAV (RIFF PCM 8/16-bit) and FLAC
+    (CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals incl.
     escapes, all stereo decorrelation modes, CRC-verified — see
     codecs/flac.py) are parsed by in-repo dependency-free codecs,
-    magic-byte detected; multi-channel mixes down by mean. MP3/OGG (and
-    LPC-subframe FLAC) would need external codecs, so they remain a
+    magic-byte detected; multi-channel mixes down by mean. MP3/OGG
+    would need external entropy/transform codecs, so they remain a
     declared stub.
 
     ``fake=True`` for other payloads: mode='tile' maps tiled payload

@@ -263,6 +263,48 @@ def test_flac_roundtrips():
         assert (np.round(x[:, 0] * 32768).astype(np.int64) == s).all()
 
 
+def test_flac_lpc_roundtrips_exact():
+    """LPC encode → decode is lossless: the quantized-integer predictor
+    plus exact residuals reconstructs bit-identical samples, and on a
+    strongly-autocorrelated signal the encoder actually CHOOSES LPC
+    (stream differs from the FIXED-only encoding and is smaller)."""
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.flac import parse_flac, write_flac
+
+    rng = np.random.default_rng(7)
+    t = np.arange(12000)
+    # resonant signal: two sinusoids + slight noise — LPC territory
+    sig = (9000 * np.sin(2 * np.pi * 441 * t / 16000)
+           + 4000 * np.sin(2 * np.pi * 1330 * t / 16000 + 0.3)
+           + rng.normal(0, 40, t.size)).astype(np.int16)
+    for order in (1, 2, 4, 8, 12):
+        enc = write_flac(sig, 16000, block_size=4096, max_lpc_order=order)
+        x, sr = parse_flac(enc)
+        assert sr == 16000
+        assert (np.round(x[:, 0] * 32768).astype(np.int64) == sig).all(), order
+    fixed_only = write_flac(sig, 16000, block_size=4096)
+    lpc8 = write_flac(sig, 16000, block_size=4096, max_lpc_order=8)
+    assert lpc8 != fixed_only and len(lpc8) < len(fixed_only)
+
+    # stereo decorrelation modes compose with LPC
+    left = sig[:6000]
+    right = (left * 0.9).astype(np.int16)
+    st = np.stack([left, right], axis=1)
+    for mode in ("independent", "left_side", "mid_side"):
+        x, _ = parse_flac(write_flac(st, 16000, block_size=1024,
+                                     stereo_mode=mode, max_lpc_order=6))
+        assert (np.round(x * 32768).astype(np.int64) == st).all(), mode
+
+    # pathological inputs never break the LPC path (falls back to FIXED
+    # or encodes degenerate LPC losslessly either way)
+    for sig2 in (rng.integers(-32768, 32767, 3000).astype(np.int16),
+                 np.zeros(100, dtype=np.int16),
+                 np.array([5, -5], dtype=np.int16)):
+        x, _ = parse_flac(write_flac(sig2, 8000, max_lpc_order=8))
+        assert (np.round(x[:, 0] * 32768).astype(np.int64) == sig2).all()
+
+
 def test_flac_stereo_decorrelation_modes_exact():
     import numpy as np
 
@@ -282,9 +324,10 @@ def test_flac_stereo_decorrelation_modes_exact():
 
 
 def test_flac_handcrafted_decoder_only_paths():
-    """Bitstreams the encoder never emits, built by hand with the bit
-    writer: VERBATIM subframe, escape (raw) Rice partition, partition
-    order > 0, wasted bits — plus CRC corruption and the LPC refusal."""
+    """Bitstreams the default encoder never emits, built by hand with the
+    bit writer: VERBATIM subframe, escape (raw) Rice partition, partition
+    order > 0, wasted bits, a known-answer LPC subframe — plus CRC
+    corruption and the reserved-LPC-precision refusal."""
     import struct
 
     import numpy as np
@@ -357,14 +400,38 @@ def test_flac_handcrafted_decoder_only_paths():
     x, _ = fl.parse_flac(stream_for(frame(wasted), 16))
     assert (np.round(x[:, 0] * 32768).astype(np.int64) == shifted).all()
 
-    # LPC subframe refuses with the subset error
+    # hand-built LPC order-1 subframe: coef=+2^shift predicts x[i]=x[i-1],
+    # residuals alternate +1/-1 — expected signal is a deterministic walk
     def lpc(w):
-        w.write(0b0100000, 7)  # LPC order 1
-        w.write(0, 1)
-        w.write(0, 16)
+        w.write(0b0100000, 7)  # pad + LPC order 1
+        w.write(0, 1)          # no wasted bits
+        w.write(100, 16)       # warm-up sample
+        w.write(14 - 1, 4)     # precision 14
+        w.write(9, 5)          # shift 9
+        w.write(1 << 9, 14)    # qcoef = 1.0 in Q9
+        w.write(0, 2)          # Rice method 0
+        w.write(0, 4)          # partition order 0
+        w.write(0, 4)          # rice param 0
+        for i in range(15):
+            v = 1 if i % 2 == 0 else -1
+            zz = (v << 1) ^ (v >> 63)
+            w.write_unary(zz)
 
-    with pytest.raises(NotImplementedError, match="LPC"):
-        fl.parse_flac(stream_for(frame(lpc), 16))
+    x, _ = fl.parse_flac(stream_for(frame(lpc), 16))
+    walk = [100]
+    for i in range(15):
+        walk.append(walk[-1] + (1 if i % 2 == 0 else -1))
+    assert (np.round(x[:, 0] * 32768).astype(np.int64) == walk).all()
+
+    # invalid LPC precision code 15 refuses loudly
+    def lpc_bad_prec(w):
+        w.write(0b0100000, 7)
+        w.write(0, 1)
+        w.write(100, 16)
+        w.write(15, 4)  # reserved precision code
+
+    with pytest.raises(ValueError, match="precision"):
+        fl.parse_flac(stream_for(frame(lpc_bad_prec), 16))
 
     # CRC-16 corruption is detected
     good = frame(verbatim)
