@@ -6,14 +6,18 @@ entropy stream is bit-serial — all decodable with pure Python/numpy,
 completing the media matrix next to WAV/BMP/PNG/FLAC.
 
 Decoder coverage (refuses loudly outside it):
-* SOF0 (baseline) and SOF1 (extended sequential, 8-bit) frames
+* SOF0 (baseline), SOF1 (extended sequential) and SOF2 (progressive)
+  8-bit frames — progressive covers spectral selection AND successive
+  approximation: DC first/refinement scans, AC first scans with EOBn
+  run codes, AC refinement scans with correction bits (T.81 G.2)
 * grayscale and 3-component YCbCr with ANY sampling factors
   (4:4:4, 4:2:2, 4:2:0, ... — chroma upsampled by pixel replication)
 * multiple DQT/DHT segments, 8- and 16-bit quant tables
-* restart intervals (DRI + RSTn markers, DC predictor reset)
+* restart intervals (DRI + RSTn markers, DC predictor reset; in
+  progressive scans they also reset the EOB run)
 * byte-stuffed entropy stream (FF 00), APPn/COM skipped
 
-Out of subset: progressive (SOF2) and arithmetic-coded (SOF9+) frames,
+Out of subset: arithmetic-coded (SOF9+) frames, hierarchical (SOF3+),
 12-bit precision — each raises NotImplementedError naming the construct.
 
 The encoder emits spec-valid baseline streams (standard Annex K quant
@@ -130,13 +134,20 @@ def _category(v: int) -> int:
 
 class _ScanReader:
     """Bit reader over the entropy-coded segment: FF 00 unstuffing,
-    RSTn awareness (resync + DC reset is the caller's job)."""
+    RSTn awareness (resync + DC reset is the caller's job).
 
-    def __init__(self, data: bytes, pos: int):
+    ``stop_any_marker`` (progressive scans): ANY marker ends the
+    entropy data — pad with 1-bits and leave it unconsumed so the
+    caller's marker loop picks up the next segment (a multi-scan file
+    legitimately follows scan data with DHT/SOS/EOI). Baseline keeps
+    the strict behavior: a non-RST marker mid-scan is corruption."""
+
+    def __init__(self, data: bytes, pos: int, stop_any_marker: bool = False):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.stop_any_marker = stop_any_marker
 
     def _fill(self):
         while self.n <= 24:
@@ -149,7 +160,8 @@ class _ScanReader:
                 nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                elif (0xD0 <= nxt <= 0xD7 or nxt == 0xD9
+                      or self.stop_any_marker):
                     # marker ahead: pad with 1-bits, do not consume
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
@@ -195,8 +207,9 @@ class _ScanReader:
 
 
 def parse_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG; returns uint8 (h, w) for grayscale or
-    (h, w, 3) RGB (BT.601 YCbCr transform, chroma replicated)."""
+    """Decode a baseline or progressive JPEG; returns uint8 (h, w) for
+    grayscale or (h, w, 3) RGB (BT.601 YCbCr transform, chroma
+    replicated)."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -204,6 +217,7 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart = 0
+    prog = None  # progressive state: per-component coefficient arrays
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -236,7 +250,7 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG (subset: 8)")
@@ -247,10 +261,11 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) — baseline only")
+            if m == 0xC2:
+                prog = _ProgState(frame)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"JPEG frame type FF{m:02X} — baseline only")
+            raise NotImplementedError(f"JPEG frame type FF{m:02X} — "
+                                      "sequential/progressive Huffman only")
         elif m == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:  # SOS
@@ -258,11 +273,21 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c : 3 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(payload, pos + seg_len, frame, sel, qt, huff, restart)
+                order.append(cs)
+            if prog is None:
+                return _decode_scan(payload, pos + seg_len, frame, sel, qt,
+                                    huff, restart)
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = prog.decode_scan(payload, pos + seg_len, order, sel, huff,
+                                   restart, ss, se, ahal >> 4, ahal & 0xF)
+            continue
         pos += seg_len
+    if prog is not None:
+        return prog.render(qt)
     raise ValueError("no scan found")
 
 
@@ -322,13 +347,203 @@ def _decode_scan(payload, pos, frame, sel, qt, huff, restart):
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out_planes.append(p[:h, :w])
-    if len(comps) == 1:
+    return _color_compose(out_planes)
+
+
+def _color_compose(out_planes: list) -> np.ndarray:
+    """Float component planes (already cropped) -> uint8 gray or RGB."""
+    if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker at/after pos (skips stuffed
+    FF 00 bytes, stray RSTn, and FF fill bytes)."""
+    while pos < len(payload):
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return pos
+
+
+class _ProgState:
+    """Coefficient accumulator for progressive (SOF2) decoding: each SOS
+    updates per-component zigzag-order coefficient arrays in place;
+    ``render`` runs dequant + IDCT once after the last scan (T.81 G.2).
+
+    Scan kinds (G.1.2): DC first (Huffman diff, stored << Al), DC
+    refinement (one appended bit per block), AC first (band Ss..Se with
+    EOBn run-length codes), AC refinement (correction bits for
+    already-nonzero coefficients, magnitude-1 insertions)."""
+
+    def __init__(self, frame: dict):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcux = -(-frame["w"] // (8 * self.hmax))
+        self.mcuy = -(-frame["h"] // (8 * self.vmax))
+        self.coef: list[np.ndarray] = []
+        self.nblocks: list[tuple[int, int]] = []
+        for c in comps:
+            cw = -(-frame["w"] * c["h"] // self.hmax)
+            ch = -(-frame["h"] * c["v"] // self.vmax)
+            self.nblocks.append((-(-ch // 8), -(-cw // 8)))
+            self.coef.append(np.zeros(
+                (self.mcuy * c["v"], self.mcux * c["h"], 64), dtype=np.int64))
+        self.eobrun = 0
+
+    def decode_scan(self, payload, pos, order, sel, huff, restart,
+                    ss, se, ah, al) -> int:
+        comps = self.frame["comps"]
+        idx = {c["id"]: i for i, c in enumerate(comps)}
+        rd = _ScanReader(payload, pos, stop_any_marker=True)
+        self.eobrun = 0
+        pred = {cid: 0 for cid in order}
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0 (T.81 G.1.1.1)")
+        if len(order) > 1:
+            if ss != 0:
+                raise ValueError("interleaved progressive scan must be DC-only")
+            n_mcu = self.mcux * self.mcuy
+            for mi in range(n_mcu):
+                if restart and mi and mi % restart == 0:
+                    rd.sync_restart()
+                    pred = {cid: 0 for cid in order}
+                my, mx = divmod(mi, self.mcux)
+                for cid in order:
+                    ci = idx[cid]
+                    c = comps[ci]
+                    dtab = huff.get((0, sel[cid][0]))
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = self.coef[ci][my * c["v"] + by,
+                                                mx * c["h"] + bx]
+                            pred[cid] = self._dc(rd, blk, dtab, pred[cid],
+                                                 ah, al)
+        else:
+            cid = order[0]
+            ci = idx[cid]
+            bh, bw = self.nblocks[ci]
+            dtab = huff.get((0, sel[cid][0]))
+            atab = huff.get((1, sel[cid][1]))
+            for bi in range(bh * bw):
+                if restart and bi and bi % restart == 0:
+                    rd.sync_restart()
+                    pred[cid] = 0
+                    self.eobrun = 0
+                by, bx = divmod(bi, bw)
+                blk = self.coef[ci][by, bx]
+                if ss == 0:
+                    pred[cid] = self._dc(rd, blk, dtab, pred[cid], ah, al)
+                elif ah == 0:
+                    self._ac_first(rd, blk, atab, ss, se, al)
+                else:
+                    self._ac_refine(rd, blk, atab, ss, se, al)
+        return _next_marker(payload, rd.pos)
+
+    @staticmethod
+    def _dc(rd, blk, dtab, pred: int, ah: int, al: int) -> int:
+        if ah == 0:
+            t = rd.decode(dtab)
+            pred += _extend(rd.receive(t), t)
+            blk[0] = pred << al
+        elif rd.read_bit():
+            blk[0] |= 1 << al  # two's-complement OR is the spec behavior
+        return pred
+
+    def _ac_first(self, rd, blk, atab, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rd.decode(atab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:  # EOBn: run of 2^r + receive(r) all-done blocks
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += rd.receive(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            blk[k] = _extend(rd.receive(s), s) << al
+            k += 1
+
+    def _ac_refine(self, rd, blk, atab, ss, se, al):
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = rd.decode(atab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += rd.receive(r)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement magnitude != 1")
+                    newval = p1 if rd.read_bit() else m1
+                # advance over the run: zero-history coefs consume the run
+                # count, already-nonzero coefs consume a correction bit
+                while k <= se:
+                    if blk[k]:
+                        if rd.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:  # EOB: correction bits only, through band end
+                if blk[k]:
+                    if rd.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            self.eobrun -= 1
+
+    def render(self, qt: dict) -> np.ndarray:
+        frame = self.frame
+        out_planes = []
+        for ci, c in enumerate(frame["comps"]):
+            dq = (self.coef[ci] * qt[c["tq"]]).astype(np.float64)
+            nat = np.zeros_like(dq)
+            nat[..., ZIGZAG] = dq
+            bv, bh = nat.shape[:2]
+            x = nat.reshape(bv, bh, 8, 8)
+            px = np.einsum("ij,abjk,kl->abil", _C.T, x, _C) + 128.0
+            plane = px.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8)
+            if c["h"] != self.hmax or c["v"] != self.vmax:
+                plane = np.repeat(
+                    np.repeat(plane, self.vmax // c["v"], axis=0),
+                    self.hmax // c["h"], axis=1)
+            out_planes.append(plane[: frame["h"], : frame["w"]])
+        return _color_compose(out_planes)
 
 
 # ---------------------------------------------------------------- encode
@@ -363,12 +578,16 @@ def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
-               restart_interval: int = 0) -> bytes:
+               restart_interval: int = 0, progressive: bool = False) -> bytes:
     """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline JPEG
     (standard Annex K tables scaled by ``quality``). ``subsample=True``
     uses 4:2:0 chroma (2x2-averaged, the dominant real-world layout);
     ``restart_interval`` emits DRI + RSTn markers every N MCUs — both
-    exist so decoder tests cover those paths with in-repo streams."""
+    exist so decoder tests cover those paths with in-repo streams.
+    ``progressive=True`` emits a SOF2 multi-scan stream with the
+    standard script shape (DC first at Al=1, split AC first scans at
+    Al=2, full-band AC refinements, DC refinement) so every progressive
+    scan kind round-trips against the decoder."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -390,17 +609,18 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
         sof += bytes([c + 1, ysamp if c == 0 else 0x11, 0 if c == 0 else 1])
-    seg(0xC0, sof)
+    seg(0xC2 if progressive else 0xC0, sof)
     tables = ((0, 0, _DC_LUM), (1, 0, _AC_LUM), (0, 1, _DC_CHR), (1, 1, _AC_CHR))
     for tc, th, (bits, vals) in tables[: 2 if nc == 1 else 4]:
         seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(vals))
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for c in range(nc):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    seg(0xDA, sos)
+    if not progressive:
+        sos = bytes([nc])
+        for c in range(nc):
+            sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        seg(0xDA, sos)
 
     if gray:
         comp_planes = [img.astype(np.float64) - 128.0]
@@ -448,6 +668,12 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
         if pw > cw_:
             pp[:, cw_:] = pp[:, cw_ - 1 : cw_]
         padded.append(pp)
+
+    if progressive:
+        _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
+                          h, w, hmax, vmax, mcux, mcuy, restart_interval)
+        out.extend(b"\xFF\xD9")
+        return bytes(out)
 
     wtr = _BitWriterJ()
     pred = [0] * len(comp_planes)
@@ -503,3 +729,169 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
     out.extend(wtr.out)
     out.extend(b"\xFF\xD9")
     return bytes(out)
+
+
+def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
+                      h, w, hmax, vmax, mcux, mcuy, restart_interval):
+    """Emit the SOS segments + entropy data of a progressive stream with
+    the standard successive-approximation script (the libjpeg default
+    shape): DC first at Al=1; AC first scans split 1-5 / 6-63 at Al=2;
+    AC refinements Ah=2->Al=1 then Ah=1->Al=0 over the full band; DC
+    refinement last. EOB runs are not accumulated across blocks (every
+    block ends its own code sequence), which keeps the Annex K Huffman
+    tables sufficient — EOBn symbols for n>0 never occur."""
+    nc = len(padded)
+    n_mcu = mcux * mcuy
+
+    # quantized zigzag-order coefficient grids, one per component
+    coefz = []
+    nblocks = []
+    for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+        ph, pw = p.shape
+        blocks = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        x = np.einsum("ij,abjk,kl->abil", _C, blocks, _C.T)
+        zz = x.reshape(ph // 8, pw // 8, 64)[..., ZIGZAG]
+        coefz.append(np.round(zz / qts[ci]).astype(np.int64))
+        cw = -(-w * sh // hmax)
+        ch2 = -(-h * sv // vmax)
+        nblocks.append((-(-ch2 // 8), -(-cw // 8)))
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2)
+                   + body)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    def emit_rst(wtr, counter):
+        wtr.flush()
+        wtr.out.extend(bytes([0xFF, 0xD0 + (counter & 7)]))
+
+    def dc_scan(al, refine):
+        sos_header(list(range(nc)), 0, 0, al + 1 if refine else 0, al)
+        wtr = _BitWriterJ()
+        pred = [0] * nc
+        rst = 0
+        for mi in range(n_mcu):
+            if restart_interval and mi and mi % restart_interval == 0:
+                emit_rst(wtr, rst)
+                rst += 1
+                pred = [0] * nc
+            my, mx = divmod(mi, mcux)
+            for ci in range(nc):
+                sh, sv = samps[ci]
+                tab = enc_dc[0 if ci == 0 else 1]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(coefz[ci][my * sv + by, mx * sh + bx, 0])
+                        if refine:
+                            wtr.write((dc >> al) & 1, 1)
+                            continue
+                        val = dc >> al  # DC point transform: arithmetic shift
+                        diff = val - pred[ci]
+                        pred[ci] = val
+                        t = _category(diff)
+                        ln, code = tab[t]
+                        wtr.write(code, ln)
+                        if t:
+                            wtr.write(diff if diff >= 0 else
+                                      diff + (1 << t) - 1, t)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    def ac_first_scan(ci, ss, se, al):
+        sos_header([ci], ss, se, 0, al)
+        wtr = _BitWriterJ()
+        bh_c, bw_c = nblocks[ci]
+        tab = enc_ac[0 if ci == 0 else 1]
+        rst = 0
+        for bi in range(bh_c * bw_c):
+            if restart_interval and bi and bi % restart_interval == 0:
+                emit_rst(wtr, rst)
+                rst += 1
+            by, bx = divmod(bi, bw_c)
+            raw = coefz[ci][by, bx, ss : se + 1]
+            band = np.sign(raw) * (np.abs(raw) >> al)  # AC: trunc toward 0
+            run = 0
+            for v in band:
+                v = int(v)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = tab[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                ln, code = tab[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:  # trailing zeros: EOB (run length 1, no accumulation)
+                ln, code = tab[0x00]
+                wtr.write(code, ln)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        sos_header([ci], ss, se, ah, al)
+        wtr = _BitWriterJ()
+        bh_c, bw_c = nblocks[ci]
+        tab = enc_ac[0 if ci == 0 else 1]
+        rst = 0
+        for bi in range(bh_c * bw_c):
+            if restart_interval and bi and bi % restart_interval == 0:
+                emit_rst(wtr, rst)
+                rst += 1
+            by, bx = divmod(bi, bw_c)
+            raw = coefz[ci][by, bx, ss : se + 1]
+            absv = np.abs(raw) >> al
+            newly = np.nonzero(absv == 1)[0]
+            eob_idx = int(newly[-1]) if newly.size else -1
+            r = 0
+            br = []  # correction bits buffered since the last emitted code
+            for k in range(absv.size):
+                t = int(absv[k])
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_idx:
+                    ln, code = tab[0xF0]
+                    wtr.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                if t > 1:  # already significant: buffer its next bit
+                    br.append(t & 1)
+                    continue
+                ln, code = tab[(r << 4) | 1]  # newly significant, size 1
+                wtr.write(code, ln)
+                wtr.write(1 if raw[k] > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                r = 0
+            if r or br:
+                ln, code = tab[0x00]  # EOB0 + trailing correction bits
+                wtr.write(code, ln)
+                for b in br:
+                    wtr.write(b, 1)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    dc_scan(1, refine=False)
+    for ci in range(nc):
+        ac_first_scan(ci, 1, 5, 2)
+    for ci in range(nc):
+        ac_first_scan(ci, 6, 63, 2)
+    for ci in range(nc):
+        ac_refine_scan(ci, 1, 63, 2, 1)
+    for ci in range(nc):
+        ac_refine_scan(ci, 1, 63, 1, 0)
+    dc_scan(0, refine=True)

@@ -77,10 +77,11 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
 
     REAL paths: BMP (24-bit uncompressed), PNG (8-bit gray/RGB/palette/
     GA/RGBA, all five row filters, CRC-checked — DEFLATE via the stdlib
-    zlib) and baseline JPEG (SOF0/SOF1, any chroma sampling, restart
-    intervals — pure-Python Huffman + matrix IDCT, codecs/jpeg.py) are
-    parsed by in-repo dependency-free codecs, magic-byte detected, no
-    flag needed. Progressive/arithmetic JPEG refuse loudly.
+    zlib) and JPEG (sequential SOF0/SOF1 AND progressive SOF2, any
+    chroma sampling, restart intervals — pure-Python Huffman + matrix
+    IDCT, codecs/jpeg.py) are parsed by in-repo dependency-free codecs,
+    magic-byte detected, no flag needed. Arithmetic-coded JPEG refuses
+    loudly.
 
     ``fake=True`` yields a deterministic uint8 array of the declared
     shape for other payloads: mode='philox' seeds a counter RNG from

@@ -516,9 +516,83 @@ def test_jpeg_handcrafted_dc_only_block():
     assert (parse_jpeg(jpg16) == 134).all()
 
 
-def test_jpeg_progressive_refuses():
-    import struct
+def test_jpeg_progressive_roundtrips():
+    """Progressive (SOF2) streams decode to the SAME quantized
+    coefficients the encoder produced — the multi-scan entropy coding
+    (DC first/refine, split AC first scans with EOB codes, two AC
+    refinement passes with correction bits) is exact, so pixels match
+    the equivalent baseline decode to within the one-count float-DCT
+    rounding delta."""
+    import numpy as np
 
+    from matrixprofiler_spark.codecs import jpeg as J
+
+    rng = np.random.default_rng(13)
+    # gray: smooth (long EOB runs) and noise (dense ZRL / correction bits)
+    smooth = (np.add.outer(np.arange(40) * 3, np.arange(56) * 2) % 256
+              ).astype(np.uint8)
+    noise = rng.integers(0, 256, size=(23, 17), dtype=np.uint8)
+    # pixel parity vs baseline: the two encoders batch the float DCT
+    # differently, so a coefficient sitting exactly on a .5 quantization
+    # boundary can flip between streams — a few counts of slack, not a
+    # correctness bound (the exact bound is the coefficient test below)
+    for img in (smooth, noise):
+        for q in (95, 75, 50):
+            d = np.abs(
+                J.parse_jpeg(J.write_jpeg(img, q, progressive=True)).astype(int)
+                - J.parse_jpeg(J.write_jpeg(img, q)).astype(int)).max()
+            assert d <= 4, (img.shape, q, d)
+    # color 4:4:4 / 4:2:0, and restart markers inside progressive scans
+    img = rng.integers(0, 256, size=(25, 31, 3), dtype=np.uint8)
+    for sub in (False, True):
+        d = np.abs(
+            J.parse_jpeg(J.write_jpeg(img, 85, subsample=sub,
+                                      progressive=True)).astype(int)
+            - J.parse_jpeg(J.write_jpeg(img, 85, subsample=sub)).astype(int)
+        ).max()
+        assert d <= 4, sub
+    for ri in (2, 5):
+        d = np.abs(
+            J.parse_jpeg(J.write_jpeg(img, 85, progressive=True,
+                                      restart_interval=ri)).astype(int)
+            - J.parse_jpeg(J.write_jpeg(img, 85)).astype(int)).max()
+        assert d <= 4, ri
+
+    # coefficient-level EXACTNESS: what the decoder accumulates across
+    # all six scans is bit-identical to the encoder's quantized DCT —
+    # for the smooth image (EOB-dominated) and the noise image
+    # (ZRL/correction-bit-dominated)
+    for g, q in ((smooth, 75), (noise, 50)):
+        prog = J.write_jpeg(g, quality=q, progressive=True)
+        cap = {}
+        orig = J._ProgState.render
+
+        def render(self, qt):
+            cap["coef"] = [c.copy() for c in self.coef]
+            return orig(self, qt)
+
+        J._ProgState.render = render
+        try:
+            J.parse_jpeg(prog)
+        finally:
+            J._ProgState.render = orig
+        ql = J._scaled_q(J._QL, q)[J.ZIGZAG]
+        h, w = g.shape
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        pp = np.empty((mcuy * 8, mcux * 8))
+        pp[:h, :w] = g.astype(np.float64) - 128.0
+        if mcuy * 8 > h:
+            pp[h:, :w] = pp[h - 1 : h, :w]
+        if mcux * 8 > w:
+            pp[:, w:] = pp[:, w - 1 : w]
+        blocks = pp.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3)
+        x = np.einsum("ij,abjk,kl->abil", J._C, blocks, J._C.T)
+        want = np.round(x.reshape(mcuy, mcux, 64)[..., J.ZIGZAG] / ql
+                        ).astype(np.int64)
+        assert np.array_equal(cap["coef"][0], want), q
+
+
+def test_jpeg_arithmetic_refuses():
     import numpy as np
     import pytest as _pytest
 
@@ -527,10 +601,9 @@ def test_jpeg_progressive_refuses():
     x, yy = np.meshgrid(np.arange(16), np.arange(16))
     img = ((x * yy) % 256).astype(np.uint8)
     good = bytearray(write_jpeg(img))
-    # rewrite the SOF0 marker to SOF2 (progressive)
     i = good.find(b"\xFF\xC0")
-    good[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    good[i + 1] = 0xC9  # SOF9: arithmetic-coded extended sequential
+    with _pytest.raises(NotImplementedError, match="FFC9"):
         parse_jpeg(bytes(good))
 
 
@@ -546,6 +619,11 @@ def test_decode_image_routes_jpeg_by_magic():
     assert out.shape == (16, 24, 3)
     assert np.abs(out[..., 0].astype(int) - gray.astype(int)).max() <= 4
     assert (out[..., 0] == out[..., 1]).all()  # gray replicated to RGB
+    # progressive streams route through the same magic detection
+    outp = decode_image(write_jpeg(gray, quality=95, progressive=True),
+                        24, 16, 3)
+    assert outp.shape == (16, 24, 3)
+    assert np.abs(outp[..., 0].astype(int) - gray.astype(int)).max() <= 4
 
 
 def test_features_on_all_real_codec_payloads(spark):
