@@ -406,3 +406,58 @@ def test_late_chunks_across_restart_keep_retention_seamfree(spark, tmp_path):
     for r in got:
         served[r.doc_id] = served.get(r.doc_id, 0) + r.cnt
     assert served == {k: int(x.size) for k, x in docs.items()}
+
+
+def test_streamed_fine_tier_survives_physical_expiry(spark, tmp_path):
+    """The full production loop for the retention engine: the streaming
+    job maintains the fine tier on disk, the PHYSICAL expiry job
+    (streaming/expiry.py) compacts that streamed store — not a batch
+    rewrite — surviving a mid-run kill, and the serving view over the
+    compacted streamed fine tier + coarse cascade with the STORED
+    watermark is row-identical to the batch view over the full store."""
+    from matrixprofiler_spark.operators.rollup import (
+        cascade_tier,
+        retention_policy,
+    )
+    from matrixprofiler_spark.streaming.expiry import RetentionExpiryJob
+
+    fine_sz, coarse_sz, horizon = 16, 64, 32
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    tokens = synth_tokens_df(spark, 16, seed=11)
+    tokens.write.parquet(inp)
+    q = stream_tokens_rollup(spark, inp, sink, ckpt, bucket_size=fine_sz)
+    q.awaitTermination(120)
+
+    fine_streamed = spark.read.parquet(sink)
+    coarse = cascade_tier(fine_streamed, fine_sz, coarse_sz, "1h")
+
+    base = tmp_path / "expiry"
+    job = RetentionExpiryJob(spark, base, fine_sz, coarse_sz, horizon,
+                             n_groups=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(fine_streamed, fail_after=2)
+    job2 = RetentionExpiryJob(spark, base, fine_sz, coarse_sz, horizon,
+                              n_groups=4)
+    job2.run(fine_streamed)
+    m = job2.metrics()
+    assert m["rows_dropped"] > 0  # the policy actually fired
+    assert m["rows_before"] == m["rows_dropped"] + m["rows_after"]
+
+    key = ["doc_id", "source", "tier", "bucket"]
+    got = job2.serving_view(coarse).orderBy(key).collect()
+    m1 = finest_rollup(tokens, fine_sz)
+    want = retention_policy(
+        m1, cascade_tier(m1, fine_sz, coarse_sz, "1h"),
+        fine_sz, coarse_sz, horizon,
+    ).orderBy(key).collect()
+    assert len(got) == len(want) > 0
+    for a, b in zip(got, want):
+        assert a.asDict() == b.asDict()
+
+    # seam-free across the stream->expire->serve loop: sum(cnt) == n_tok
+    served = {}
+    for r in got:
+        served[r.doc_id] = served.get(r.doc_id, 0) + r.cnt
+    assert served == {r.doc_id: r.n_tok for r in tokens.collect()}
