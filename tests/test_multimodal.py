@@ -670,3 +670,94 @@ def test_features_on_all_real_codec_payloads(spark):
     # FLAC is lossless: identical samples -> identical features as WAV
     assert af["flac"].rms == af["wav"].rms
     assert af["flac"].zero_crossing_rate == af["wav"].zero_crossing_rate
+
+
+def test_jpeg_progressive_handcrafted_eobrun():
+    """Decoder-only progressive constructs the in-repo encoder never
+    emits (it always ends blocks with EOB0): EOBn codes with r > 0 —
+    multi-block EOB runs — in both an AC first scan and an AC
+    refinement scan, built by hand with the bit writer against a
+    custom Huffman table that contains the EOB1/EOB2 symbols."""
+    import struct
+
+    import numpy as np
+
+    from matrixprofiler_spark.codecs import jpeg as J
+
+    w, h = 32, 8  # one row of four 8x8 blocks, grayscale
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))  # identity dequant
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00] + J._DC_LUM[0]) + bytes(J._DC_LUM[1]))
+    # custom AC table: len-2 codes 00,01,10 -> 0x01, 0x11, 0x10(EOB1);
+    # len-3 codes 110,111 -> 0x20(EOB2), 0x00(EOB0)
+    ac_bits = [0, 3, 2] + [0] * 13
+    ac_vals = [0x01, 0x11, 0x10, 0x20, 0x00]
+    dht_ac = seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    ac_enc = J._build_encode_table(ac_bits, ac_vals)
+    dc_enc = J._build_encode_table(*J._DC_LUM)
+
+    # scan 1: DC first, Al=0, DCs 10/20/30/40 (diffs of 10, category 4)
+    w1 = J._BitWriterJ()
+    for _ in range(4):
+        ln, code = dc_enc[4]
+        w1.write(code, ln)
+        w1.write(10, 4)
+    w1.flush()
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+
+    # scan 2: AC first, band 1..63, Al=1.
+    # block0: (r0,s1) coef[1]=+1 -> stored 2; then EOB1 + ext bit 1
+    #         => eobrun covers blocks 1 AND 2
+    # block3: (r1,s1) coef[2]=-1 -> stored -2; then EOB0
+    w2 = J._BitWriterJ()
+    ln, code = ac_enc[0x01]
+    w2.write(code, ln)
+    w2.write(1, 1)  # +1
+    ln, code = ac_enc[0x10]
+    w2.write(code, ln)
+    w2.write(1, 1)  # EOB1 extension bit: run = 2^1 + 1 ... covers 2 more blocks
+    ln, code = ac_enc[0x11]
+    w2.write(code, ln)
+    w2.write(0, 1)  # -1
+    ln, code = ac_enc[0x00]
+    w2.write(code, ln)
+    w2.flush()
+    sos_ac1 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+
+    # scan 3: AC refinement Ah=1 -> Al=0, one EOB2 run covering ALL four
+    # blocks; correction bits: block0 k=1 gets bit 1 (2 -> 3), block3 k=2
+    # gets bit 0 (-2 stays)
+    w3 = J._BitWriterJ()
+    ln, code = ac_enc[0x20]
+    w3.write(code, ln)
+    w3.write(0, 2)  # EOB2 extension: run = 4 blocks
+    w3.write(1, 1)  # block0 correction bit
+    w3.write(0, 1)  # block3 correction bit
+    w3.flush()
+    sos_ac2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+
+    stream = (b"\xFF\xD8" + dqt + sof + dht_dc + dht_ac
+              + sos_dc + bytes(w1.out) + sos_ac1 + bytes(w2.out)
+              + sos_ac2 + bytes(w3.out) + b"\xFF\xD9")
+    got = J.parse_jpeg(stream)
+
+    # expected: dequant(identity) + IDCT of the hand-placed coefficients
+    dcs = [10, 20, 30, 40]
+    want = np.empty((8, 32))
+    for b in range(4):
+        zz = np.zeros(64)
+        zz[0] = dcs[b]
+        if b == 0:
+            zz[1] = 3  # 2 refined by bit 1
+        if b == 3:
+            zz[2] = -2  # correction bit 0: unchanged
+        nat = np.zeros(64)
+        nat[J.ZIGZAG] = zz
+        want[:, b * 8 : b * 8 + 8] = J._C.T @ nat.reshape(8, 8) @ J._C + 128.0
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    assert got.shape == (8, 32)
+    assert (got == want).all()
