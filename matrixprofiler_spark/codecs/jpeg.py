@@ -580,17 +580,25 @@ def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
 def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
                restart_interval: int = 0, progressive: bool = False) -> bytes:
     """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline JPEG
-    (standard Annex K tables scaled by ``quality``). ``subsample=True``
-    uses 4:2:0 chroma (2x2-averaged, the dominant real-world layout);
-    ``restart_interval`` emits DRI + RSTn markers every N MCUs — both
-    exist so decoder tests cover those paths with in-repo streams.
-    ``progressive=True`` emits a SOF2 multi-scan stream with the
-    standard script shape (DC first at Al=1, split AC first scans at
-    Al=2, full-band AC refinements, DC refinement) so every progressive
-    scan kind round-trips against the decoder."""
+    (standard Annex K tables scaled by ``quality``). ``subsample``:
+    False = 4:4:4; True or "420" = 2x2-averaged chroma (the dominant
+    real-world layout); "422" = horizontal-only; "440" = vertical-only
+    — the asymmetric layouts exist so decoder tests cover non-square
+    sampling-factor paths with in-repo streams. ``restart_interval``
+    emits DRI + RSTn markers every N MCUs. ``progressive=True`` emits a
+    SOF2 multi-scan stream with the standard script shape (DC first at
+    Al=1, split AC first scans at Al=2, full-band AC refinements, DC
+    refinement) so every progressive scan kind round-trips against the
+    decoder."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    sub_modes = {False: None, True: (2, 2), "420": (2, 2),
+                 "422": (2, 1), "440": (1, 2)}
+    if subsample not in sub_modes:
+        raise ValueError(f"subsample must be one of {list(sub_modes)}, "
+                         f"got {subsample!r}")
+    sub = sub_modes[subsample]
     ql = _scaled_q(_QL, quality)
     qc = _scaled_q(_QC, quality)
 
@@ -605,7 +613,7 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
     if not gray:
         seg(0xDB, bytes([1]) + bytes(qcz.tolist()))
     nc = 1 if gray else 3
-    ysamp = 0x22 if (subsample and not gray) else 0x11
+    ysamp = 0x11 if (gray or sub is None) else (sub[0] << 4) | sub[1]
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
         sof += bytes([c + 1, ysamp if c == 0 else 0x11, 0 if c == 0 else 1])
@@ -631,10 +639,11 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
         cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
         cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
-        if subsample:
-            # pad to even dims, then 2x2 box-average the chroma planes
-            he, we = h + (h & 1), w + (w & 1)
-            def pad_even(p):
+        if sub:
+            # pad to the decimation grid, then box-average the chroma
+            fh, fv = sub
+            he, we = -(-h // fv) * fv, -(-w // fh) * fh
+            def pad_grid(p):
                 pp = np.empty((he, we))
                 pp[:h, :w] = p
                 if he > h:
@@ -642,9 +651,9 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
                 if we > w:
                     pp[:, w:] = pp[:, w - 1 : w]
                 return pp
-            cb = pad_even(cb).reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-            cr = pad_even(cr).reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-            samps = [(2, 2), (1, 1), (1, 1)]
+            cb = pad_grid(cb).reshape(he // fv, fv, we // fh, fh).mean(axis=(1, 3))
+            cr = pad_grid(cr).reshape(he // fv, fv, we // fh, fh).mean(axis=(1, 3))
+            samps = [(fh, fv), (1, 1), (1, 1)]
         else:
             samps = [(1, 1), (1, 1), (1, 1)]
         comp_planes = [y - 128.0, cb - 128.0, cr - 128.0]

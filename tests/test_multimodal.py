@@ -761,3 +761,26 @@ def test_jpeg_progressive_handcrafted_eobrun():
     want = np.clip(np.round(want), 0, 255).astype(np.uint8)
     assert got.shape == (8, 32)
     assert (got == want).all()
+
+
+def test_jpeg_asymmetric_chroma_sampling():
+    """4:2:2 (H2V1) and 4:4:0 (H1V2) chroma layouts — the decoder's
+    non-square sampling-factor replication paths — round-trip with
+    bounded error in both baseline and progressive streams, and
+    subsample=True stays byte-identical to "420"."""
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.jpeg import parse_jpeg, write_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:45]
+    img = np.stack([(yy * 3 + xx) % 256, (yy + xx * 2) % 256,
+                    (yy * 2 + xx * 3) % 256], axis=2).astype(np.uint8)
+    for mode in ("422", "440"):
+        for prog in (False, True):
+            dec = parse_jpeg(write_jpeg(img, quality=92, subsample=mode,
+                                        progressive=prog)).astype(int)
+            assert np.abs(dec - img.astype(int)).max() < 40, (mode, prog)
+    assert (write_jpeg(img, 90, subsample=True)
+            == write_jpeg(img, 90, subsample="420"))
+    with pytest.raises(ValueError, match="subsample"):
+        write_jpeg(img, 90, subsample="411")
