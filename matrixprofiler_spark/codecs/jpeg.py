@@ -218,7 +218,10 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     restart = 0
     prog = None  # progressive state: per-component coefficient arrays
+    n_scans = 0
     while pos < len(payload):
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG stream")
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
         m = payload[pos + 1]
@@ -284,9 +287,10 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             pos = prog.decode_scan(payload, pos + seg_len, order, sel, huff,
                                    restart, ss, se, ahal >> 4, ahal & 0xF)
+            n_scans += 1
             continue
         pos += seg_len
-    if prog is not None:
+    if prog is not None and n_scans:
         return prog.render(qt)
     raise ValueError("no scan found")
 
@@ -412,12 +416,25 @@ class _ProgState:
         rd = _ScanReader(payload, pos, stop_any_marker=True)
         self.eobrun = 0
         pred = {cid: 0 for cid in order}
+        if not 0 <= ss <= se <= 63:
+            raise ValueError(f"invalid spectral band Ss={ss} Se={se}")
         if ss == 0 and se != 0:
             raise ValueError("progressive DC scan must have Se=0 (T.81 G.1.1.1)")
+
+        def table(cls, tid):
+            if (cls, tid) not in huff:
+                raise ValueError(
+                    f"scan references undefined {'AC' if cls else 'DC'} "
+                    f"Huffman table {tid}")
+            return huff[(cls, tid)]
+
         if len(order) > 1:
             if ss != 0:
                 raise ValueError("interleaved progressive scan must be DC-only")
             n_mcu = self.mcux * self.mcuy
+            # refinement DC scans read raw bits: the table is unused
+            dtabs = {cid: table(0, sel[cid][0]) if ah == 0 else None
+                     for cid in order}
             for mi in range(n_mcu):
                 if restart and mi and mi % restart == 0:
                     rd.sync_restart()
@@ -426,19 +443,18 @@ class _ProgState:
                 for cid in order:
                     ci = idx[cid]
                     c = comps[ci]
-                    dtab = huff.get((0, sel[cid][0]))
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             blk = self.coef[ci][my * c["v"] + by,
                                                 mx * c["h"] + bx]
-                            pred[cid] = self._dc(rd, blk, dtab, pred[cid],
-                                                 ah, al)
+                            pred[cid] = self._dc(rd, blk, dtabs[cid],
+                                                 pred[cid], ah, al)
         else:
             cid = order[0]
             ci = idx[cid]
             bh, bw = self.nblocks[ci]
-            dtab = huff.get((0, sel[cid][0]))
-            atab = huff.get((1, sel[cid][1]))
+            dtab = table(0, sel[cid][0]) if ss == 0 and ah == 0 else None
+            atab = table(1, sel[cid][1]) if ss > 0 else None
             for bi in range(bh * bw):
                 if restart and bi and bi % restart == 0:
                     rd.sync_restart()
@@ -570,6 +586,21 @@ class _BitWriterJ:
             self.write(0x7F, 8 - self.n)  # pad with 1s
 
 
+def _emit_coded(wtr: _BitWriterJ, tab: dict, sym: int, v: int, s: int):
+    """Huffman code for ``sym`` followed by the s magnitude bits of v
+    (T.81 F.1.2.2.1 two's-complement-minus-one convention)."""
+    ln, code = tab[sym]
+    wtr.write(code, ln)
+    if s:
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _emit_rst(wtr: _BitWriterJ, counter: int):
+    """Byte-align and append RSTn (n = counter mod 8)."""
+    wtr.flush()
+    wtr.out.extend(bytes([0xFF, 0xD0 + (counter & 7)]))
+
+
 def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -679,7 +710,7 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
         padded.append(pp)
 
     if progressive:
-        _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
+        _emit_progressive(out, seg, padded, samps, qts, enc_dc, enc_ac,
                           h, w, hmax, vmax, mcux, mcuy, restart_interval)
         out.extend(b"\xFF\xD9")
         return bytes(out)
@@ -694,11 +725,7 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
         zz = np.round(X.reshape(-1)[ZIGZAG] / qts[ci]).astype(np.int64)
         diff = int(zz[0]) - pred[ci]
         pred[ci] = int(zz[0])
-        t = _category(diff)
-        ln, code = enc_dc[t_id][t]
-        wtr.write(code, ln)
-        if t:
-            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        _emit_coded(wtr, enc_dc[t_id], _category(diff), diff, _category(diff))
         run = 0
         last = 63
         while last > 0 and zz[last] == 0:
@@ -709,23 +736,17 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
                 run += 1
                 continue
             while run > 15:
-                ln, code = enc_ac[t_id][0xF0]
-                wtr.write(code, ln)
+                _emit_coded(wtr, enc_ac[t_id], 0xF0, 0, 0)
                 run -= 16
             s = _category(v)
-            ln, code = enc_ac[t_id][(run << 4) | s]
-            wtr.write(code, ln)
-            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            _emit_coded(wtr, enc_ac[t_id], (run << 4) | s, v, s)
             run = 0
         if last < 63:
-            ln, code = enc_ac[t_id][0x00]
-            wtr.write(code, ln)
+            _emit_coded(wtr, enc_ac[t_id], 0x00, 0, 0)
 
     for mi in range(n_mcu):
         if restart_interval and mi and mi % restart_interval == 0:
-            wtr.flush()
-            out_rst = 0xD0 + ((mi // restart_interval - 1) & 7)
-            wtr.out.extend(bytes([0xFF, out_rst]))
+            _emit_rst(wtr, mi // restart_interval - 1)
             pred = [0] * len(comp_planes)
         my, mx = divmod(mi, mcux)
         for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
@@ -740,7 +761,7 @@ def write_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
     return bytes(out)
 
 
-def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
+def _emit_progressive(out, seg, padded, samps, qts, enc_dc, enc_ac,
                       h, w, hmax, vmax, mcux, mcuy, restart_interval):
     """Emit the SOS segments + entropy data of a progressive stream with
     the standard successive-approximation script (the libjpeg default
@@ -765,10 +786,6 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
         ch2 = -(-h * sv // vmax)
         nblocks.append((-(-ch2 // 8), -(-cw // 8)))
 
-    def seg(marker, body):
-        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2)
-                   + body)
-
     def sos_header(comp_ids, ss, se, ah, al):
         body = bytes([len(comp_ids)])
         for ci in comp_ids:
@@ -777,10 +794,6 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
         body += bytes([ss, se, (ah << 4) | al])
         seg(0xDA, body)
 
-    def emit_rst(wtr, counter):
-        wtr.flush()
-        wtr.out.extend(bytes([0xFF, 0xD0 + (counter & 7)]))
-
     def dc_scan(al, refine):
         sos_header(list(range(nc)), 0, 0, al + 1 if refine else 0, al)
         wtr = _BitWriterJ()
@@ -788,7 +801,7 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
         rst = 0
         for mi in range(n_mcu):
             if restart_interval and mi and mi % restart_interval == 0:
-                emit_rst(wtr, rst)
+                _emit_rst(wtr, rst)
                 rst += 1
                 pred = [0] * nc
             my, mx = divmod(mi, mcux)
@@ -804,12 +817,8 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
                         val = dc >> al  # DC point transform: arithmetic shift
                         diff = val - pred[ci]
                         pred[ci] = val
-                        t = _category(diff)
-                        ln, code = tab[t]
-                        wtr.write(code, ln)
-                        if t:
-                            wtr.write(diff if diff >= 0 else
-                                      diff + (1 << t) - 1, t)
+                        _emit_coded(wtr, tab, _category(diff), diff,
+                                    _category(diff))
         wtr.flush()
         out.extend(wtr.out)
 
@@ -821,7 +830,7 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
         rst = 0
         for bi in range(bh_c * bw_c):
             if restart_interval and bi and bi % restart_interval == 0:
-                emit_rst(wtr, rst)
+                _emit_rst(wtr, rst)
                 rst += 1
             by, bx = divmod(bi, bw_c)
             raw = coefz[ci][by, bx, ss : se + 1]
@@ -833,17 +842,13 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
                     run += 1
                     continue
                 while run > 15:
-                    ln, code = tab[0xF0]
-                    wtr.write(code, ln)
+                    _emit_coded(wtr, tab, 0xF0, 0, 0)
                     run -= 16
                 s = _category(v)
-                ln, code = tab[(run << 4) | s]
-                wtr.write(code, ln)
-                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                _emit_coded(wtr, tab, (run << 4) | s, v, s)
                 run = 0
             if run:  # trailing zeros: EOB (run length 1, no accumulation)
-                ln, code = tab[0x00]
-                wtr.write(code, ln)
+                _emit_coded(wtr, tab, 0x00, 0, 0)
         wtr.flush()
         out.extend(wtr.out)
 
@@ -855,7 +860,7 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
         rst = 0
         for bi in range(bh_c * bw_c):
             if restart_interval and bi and bi % restart_interval == 0:
-                emit_rst(wtr, rst)
+                _emit_rst(wtr, rst)
                 rst += 1
             by, bx = divmod(bi, bw_c)
             raw = coefz[ci][by, bx, ss : se + 1]
@@ -870,8 +875,7 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
                     r += 1
                     continue
                 while r > 15 and k <= eob_idx:
-                    ln, code = tab[0xF0]
-                    wtr.write(code, ln)
+                    _emit_coded(wtr, tab, 0xF0, 0, 0)
                     r -= 16
                     for b in br:
                         wtr.write(b, 1)
@@ -879,9 +883,8 @@ def _emit_progressive(out, padded, samps, qts, enc_dc, enc_ac,
                 if t > 1:  # already significant: buffer its next bit
                     br.append(t & 1)
                     continue
-                ln, code = tab[(r << 4) | 1]  # newly significant, size 1
-                wtr.write(code, ln)
-                wtr.write(1 if raw[k] > 0 else 0, 1)
+                _emit_coded(wtr, tab, (r << 4) | 1,  # newly significant
+                            1 if raw[k] > 0 else 0, 1)
                 for b in br:
                     wtr.write(b, 1)
                 br = []

@@ -784,3 +784,39 @@ def test_jpeg_asymmetric_chroma_sampling():
             == write_jpeg(img, 90, subsample="420"))
     with pytest.raises(ValueError, match="subsample"):
         write_jpeg(img, 90, subsample="411")
+
+
+def test_jpeg_progressive_corrupt_streams_refuse_loudly():
+    """Robustness contract on progressive streams (self-review r6): a
+    scan-less SOF2 file, an out-of-range spectral band, a truncated
+    stream, and an undefined Huffman-table reference each raise a named
+    ValueError instead of fabricating pixels or crashing with raw
+    IndexError/TypeError."""
+    import numpy as np
+
+    from matrixprofiler_spark.codecs import jpeg as J
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, size=(23, 17), dtype=np.uint8)
+    prog = J.write_jpeg(g, progressive=True)
+    sos = [m for m in range(len(prog) - 1)
+           if prog[m] == 0xFF and prog[m + 1] == 0xDA]
+
+    noscan = prog[: sos[0]] + b"\xFF\xD9"
+    with pytest.raises(ValueError, match="no scan found"):
+        J.parse_jpeg(noscan)
+
+    bad_se = bytearray(prog)
+    assert bad_se[sos[1] + 8] in (5, 63)  # Se byte of the first AC scan
+    bad_se[sos[1] + 8] = 200
+    with pytest.raises(ValueError, match="spectral band"):
+        J.parse_jpeg(bytes(bad_se))
+
+    with pytest.raises(ValueError, match="truncated"):
+        J.parse_jpeg(prog[:-1])  # stream ends on a lone 0xFF
+
+    bad_tab = bytearray(prog)
+    assert bad_tab[sos[1] + 6] == 0x00  # table-selector byte
+    bad_tab[sos[1] + 6] = 0x33
+    with pytest.raises(ValueError, match="undefined AC Huffman table 3"):
+        J.parse_jpeg(bytes(bad_tab))
