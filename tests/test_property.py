@@ -102,3 +102,68 @@ def test_c_round_matches_half_away_from_zero(w, ez):
     frac = v - math.floor(v)
     expect = math.floor(v) + (1 if frac >= 0.5 else 0)
     assert c_round(v) == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=1, max_size=400),
+    st.integers(min_value=0, max_value=12),
+    st.sampled_from([192, 1024, 4096]),
+)
+def test_flac_lpc_roundtrip_any_signal(vals, order, block_size):
+    """FLAC encode->decode is lossless for ANY int16 signal at ANY LPC
+    order cap (0 = FIXED-only): the quantized-integer predictor plus
+    exact Rice residuals always reconstructs bit-identical samples."""
+    from matrixprofiler_spark.codecs.flac import parse_flac, write_flac
+
+    s = np.array(vals, dtype=np.int16)
+    x, sr = parse_flac(write_flac(s, 8000, block_size=block_size,
+                                  max_lpc_order=order))
+    assert sr == 8000
+    np.testing.assert_array_equal(
+        np.round(x[:, 0] * 32768).astype(np.int64), s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=30, max_value=95),
+    st.randoms(use_true_random=False),
+)
+def test_jpeg_progressive_decodes_exact_coefficients(h, w, quality, rnd):
+    """For ANY image shape/quality, the progressive decoder accumulates
+    exactly the encoder's quantized DCT coefficients across all six
+    scans (the lossless half of a lossy codec)."""
+    from matrixprofiler_spark.codecs import jpeg as J
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    prog = J.write_jpeg(img, quality=quality, progressive=True)
+    cap = {}
+    orig = J._ProgState.render
+
+    def render(self, qt):
+        cap["coef"] = self.coef[0].copy()
+        return orig(self, qt)
+
+    J._ProgState.render = render
+    try:
+        J.parse_jpeg(prog)
+    finally:
+        J._ProgState.render = orig
+
+    ql = J._scaled_q(J._QL, quality)[J.ZIGZAG]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    pp = np.empty((mcuy * 8, mcux * 8))
+    pp[:h, :w] = img.astype(np.float64) - 128.0
+    if mcuy * 8 > h:
+        pp[h:, :w] = pp[h - 1 : h, :w]
+    if mcux * 8 > w:
+        pp[:, w:] = pp[:, w - 1 : w]
+    blocks = pp.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3)
+    x = np.einsum("ij,abjk,kl->abil", J._C, blocks, J._C.T)
+    want = np.round(x.reshape(mcuy, mcux, 64)[..., J.ZIGZAG] / ql
+                    ).astype(np.int64)
+    np.testing.assert_array_equal(cap["coef"], want)
