@@ -197,9 +197,11 @@ def write_png(img: np.ndarray, filter_type: int | str = 0,
 def parse_png(payload: bytes) -> np.ndarray:
     """Parse an 8-bit non-interlaced PNG (color types 0/2/3/4/6, all five
     row filters, CRC-checked). Returns uint8 (h, w) for gray, else
-    (h, w, channels); palette images resolve through PLTE to (h, w, 3).
-    16-bit and Adam7-interlaced images raise NotImplementedError (real
-    but rare variants; the decoder refuses rather than guessing)."""
+    (h, w, channels); palette images resolve through PLTE to (h, w, 3) —
+    or (h, w, 4) when a tRNS chunk carries per-entry alpha (short tables
+    pad to opaque per the spec). 16-bit and Adam7-interlaced images
+    raise NotImplementedError (real but rare variants; the decoder
+    refuses rather than guessing)."""
     import zlib
 
     if payload[: len(PNG_SIG)] != PNG_SIG:
@@ -207,6 +209,7 @@ def parse_png(payload: bytes) -> np.ndarray:
     pos = len(PNG_SIG)
     ihdr = None
     plte = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
@@ -223,6 +226,8 @@ def parse_png(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -283,7 +288,12 @@ def parse_png(payload: bytes) -> np.ndarray:
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
-        return plte[out.reshape(h, w)]
+        idx = out.reshape(h, w)
+        if trns is not None:
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: trns.size] = trns[: plte.shape[0]]
+            return np.dstack([plte[idx], alpha[idx]])
+        return plte[idx]
     if ch == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, ch)

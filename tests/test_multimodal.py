@@ -820,3 +820,133 @@ def test_jpeg_progressive_corrupt_streams_refuse_loudly():
     bad_tab[sos[1] + 6] = 0x33
     with pytest.raises(ValueError, match="undefined AC Huffman table 3"):
         J.parse_jpeg(bytes(bad_tab))
+
+
+SYSTEM_JPEGS = [
+    # (path, progressive?) — real third-party-encoded files shipped with
+    # the Spark binary distro / OS packages in this environment
+    ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+     "multi-channel/grayscale.jpg", True),
+    ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+     "kittens/DP153539.jpg", False),
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg", True),
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", True),
+]
+
+
+@pytest.mark.skipif(
+    not all(__import__("os").path.exists(p) for p, _ in SYSTEM_JPEGS),
+    reason="system sample JPEGs not present",
+)
+def test_jpeg_decoder_matches_java_imageio_on_real_files(spark):
+    """EXTERNAL validation: real-world JPEGs produced by third-party
+    encoders (including progressive SOF2 files with genuine EOB runs and
+    non-Annex-K tables) decode pixel-equivalent to Java ImageIO via
+    Spark's image source — an entirely independent decoder. Grayscale
+    progressive matches within +-1 (IDCT rounding); color files differ
+    only at chroma-upsampling edges (we replicate, ImageIO smooths), so
+    the bound there is mean|diff| and a tiny tail fraction."""
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.jpeg import parse_jpeg
+
+    for path, prog in SYSTEM_JPEGS:
+        data = open(path, "rb").read()
+        assert (b"\xFF\xC2" in data) == prog  # frame type sanity
+        r = (spark.read.format("image").load(path)
+             .select("image.*").collect()[0])
+        ref = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+            r.height, r.width, r.nChannels)
+        mine = parse_jpeg(data)
+        if mine.ndim == 2 and r.nChannels == 1:
+            ref = ref[:, :, 0]
+        else:
+            ref = ref[:, :, ::-1]  # BGR -> RGB
+        assert mine.shape == ref.shape, path
+        d = np.abs(mine.astype(int) - ref.astype(int))
+        if mine.ndim == 2:
+            assert d.max() <= 2, path  # no chroma: near-exact
+        else:
+            assert float(d.mean()) < 1.0, (path, d.mean())
+            assert float((d > 8).mean()) < 1e-3, (path, (d > 8).mean())
+
+
+def test_png_palette_trns_alpha():
+    """Palette PNG with a tRNS chunk resolves to (h, w, 4): per-entry
+    alpha applied through the index map, short tables padded opaque per
+    the spec. Built from raw chunks, expected values by hand."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.media import PNG_SIG, parse_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    plte = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255])  # 3 entries
+    trns = bytes([10, 200])  # entry 2 pads to opaque 255
+    # 2 rows of 4 indices, each row led by its filter byte (None)
+    scan = bytes([0, 0, 1, 2, 0,  0, 2, 1, 0, 0])
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    png = (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"tRNS", trns) + chunk(b"IDAT", zlib.compress(scan))
+           + chunk(b"IEND", b""))
+    got = parse_png(png)
+    assert got.shape == (2, 4, 4)
+    idx = [0, 1, 2, 0, 2, 1, 0, 0]
+    want_rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]][i]
+                         for i in idx], dtype=np.uint8).reshape(2, 4, 3)
+    want_a = np.array([[10, 200, 255][i] for i in idx],
+                      dtype=np.uint8).reshape(2, 4)
+    assert (got[..., :3] == want_rgb).all()
+    assert (got[..., 3] == want_a).all()
+
+    # without tRNS the same image still resolves to (h, w, 3)
+    png3 = (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    assert parse_png(png3).shape == (2, 4, 3)
+
+
+SYSTEM_PNGS = [
+    "/usr/share/doc/nodejs/osx_installer_logo.png",  # palette + tRNS
+    "/usr/share/gitweb/static/git-logo.png",
+    "/usr/share/doc/python3/_static/file.png",
+]
+
+
+@pytest.mark.skipif(
+    not all(__import__("os").path.exists(p) for p in SYSTEM_PNGS),
+    reason="system sample PNGs not present",
+)
+def test_png_decoder_matches_java_imageio_exactly(spark):
+    """EXTERNAL validation: PNG is lossless, so real third-party files
+    must decode BYTE-EXACTLY equal to Java ImageIO via Spark's image
+    source — including the palette+tRNS alpha path."""
+    import numpy as np
+
+    from matrixprofiler_spark.codecs.media import parse_png
+
+    for path in SYSTEM_PNGS:
+        mine = parse_png(open(path, "rb").read())
+        r = (spark.read.format("image").load(path)
+             .select("image.*").collect()[0])
+        ref = np.frombuffer(bytes(r.data), np.uint8).reshape(
+            r.height, r.width, r.nChannels)
+        if mine.ndim == 2:
+            mine = mine[:, :, None]
+        if r.nChannels == 4:
+            if mine.shape[2] == 4:
+                cmp_ = mine[:, :, [2, 1, 0, 3]]  # RGBA -> BGRA
+            else:
+                opaque = np.full(mine.shape[:2] + (1,), 255, np.uint8)
+                cmp_ = np.concatenate([mine[:, :, ::-1], opaque], axis=2)
+        elif r.nChannels == 3:
+            cmp_ = mine[:, :, ::-1] if mine.shape[2] == 3 else np.repeat(
+                mine, 3, axis=2)
+        else:
+            cmp_ = mine
+        assert cmp_.shape == ref.shape, path
+        assert np.array_equal(cmp_, ref), path
