@@ -195,13 +195,14 @@ def write_png(img: np.ndarray, filter_type: int | str = 0,
 
 
 def parse_png(payload: bytes) -> np.ndarray:
-    """Parse an 8-bit non-interlaced PNG (color types 0/2/3/4/6, all five
-    row filters, CRC-checked). Returns uint8 (h, w) for gray, else
-    (h, w, channels); palette images resolve through PLTE to (h, w, 3) —
-    or (h, w, 4) when a tRNS chunk carries per-entry alpha (short tables
-    pad to opaque per the spec). 16-bit and Adam7-interlaced images
-    raise NotImplementedError (real but rare variants; the decoder
-    refuses rather than guessing)."""
+    """Parse a PNG (color types 0/2/3/4/6, bit depths 1/2/4/8, all five
+    row filters, sequential or Adam7-interlaced, CRC-checked). Returns
+    uint8 (h, w) for gray (sub-byte depths sample-scaled to 0..255),
+    else (h, w, channels); palette images resolve through PLTE to
+    (h, w, 3) — or (h, w, 4) when a tRNS chunk carries per-entry alpha
+    (short tables pad to opaque per the spec). 16-bit images raise
+    NotImplementedError (the one remaining variant; the decoder refuses
+    rather than guessing at sample scaling)."""
     import zlib
 
     if payload[: len(PNG_SIG)] != PNG_SIG:
@@ -238,53 +239,49 @@ def parse_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad IHDR compression/filter method")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG (only 8-bit)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth not in (1, 2, 4, 8):
+        raise NotImplementedError(f"{depth}-bit PNG (subset: 1/2/4/8)")
     if color_type not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type}")
+    if depth != 8 and color_type not in (0, 3):
+        raise ValueError(f"{depth}-bit depth invalid for color type "
+                         f"{color_type} (spec: gray/palette only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    bpp = max(1, ch * depth // 8)  # filter pixel offset, bytes
     data = zlib.decompress(bytes(idat))
-    if len(data) != h * (1 + stride):
-        raise ValueError("IDAT size mismatch")
-    # unfilter: None/Up vectorize per row; Sub/Average/Paeth carry a
-    # left-pixel dependency -> per-pixel loop (decode is plumbing, not
-    # the hot path; see operators/multimodal.py)
     flat = np.frombuffer(data, dtype=np.uint8)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ft = int(flat[y * (1 + stride)])
-        row = flat[y * (1 + stride) + 1 : (y + 1) * (1 + stride)].astype(np.int32)
-        if ft == 0:
-            cur = row
-        elif ft == 2:
-            cur = (row + prev) & 0xFF
-        elif ft == 1:
-            cur = row
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
-        elif ft == 3:
-            cur = row
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:
-            cur = row
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+
+    if interlace == 0:
+        regions = [(0, 0, 1, 1, w, h)]
+    else:  # Adam7: (x0, y0, dx, dy) per pass, empty passes skipped
+        regions = [(x0, y0, dx, dy,
+                    (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+                   for x0, y0, dx, dy in
+                   ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+                   if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0]
+    if len(flat) != sum(hr * (1 + -(-wr * ch * depth // 8))
+                        for *_, wr, hr in regions):
+        raise ValueError("IDAT size mismatch")
+
+    img = np.zeros((h, w * ch) if interlace == 0 else (h, w, ch),
+                   dtype=np.uint8)
+    pos2 = 0
+    for x0, y0, dx, dy, wr, hr in regions:
+        stride = -(-wr * ch * depth // 8)
+        rows = _png_unfilter(flat, pos2, hr, stride, bpp)
+        pos2 += hr * (1 + stride)
+        samp = _png_samples(rows, wr, ch, depth)  # (hr, wr*ch)
+        if interlace == 0:
+            img = samp
         else:
-            raise ValueError(f"PNG row filter {ft}")
-        out[y] = cur
-        prev = cur
+            img[y0::dy, x0::dx] = samp.reshape(hr, wr, ch)
+    out = img.reshape(h, w * ch)
+
+    if color_type == 0 and depth < 8:
+        out = out * np.uint8(255 // ((1 << depth) - 1))  # sample scaling
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
@@ -297,3 +294,58 @@ def parse_png(payload: bytes) -> np.ndarray:
     if ch == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, ch)
+
+
+def _png_unfilter(flat: np.ndarray, pos: int, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo the five PNG row filters over h scanlines of ``stride``
+    bytes starting at flat[pos]; ``bpp`` is the filter's left-pixel
+    byte offset. None/Up vectorize per row; Sub/Average/Paeth carry a
+    left-pixel dependency -> per-byte loop (decode is plumbing, not the
+    hot path; see operators/multimodal.py)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(flat[pos])
+        row = flat[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        elif ft == 1:
+            cur = row
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 3:
+            cur = row
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            cur = row
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG row filter {ft}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """Unpack (h, stride) filtered bytes to (h, w*ch) uint8 samples:
+    identity at depth 8, MSB-first bit groups below (unscaled — gray
+    sample scaling and palette lookup happen in the caller)."""
+    if depth == 8:
+        return rows[:, : w * ch]
+    bits = np.unpackbits(rows, axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    groups = bits[:, : w * depth].reshape(rows.shape[0], w, depth)
+    return (groups @ weights).astype(np.uint8)

@@ -209,13 +209,38 @@ def test_png_handcrafted_bytes_decode_exactly():
     with pytest.raises(ValueError, match="CRC"):
         parse_png(bytes(bad))
 
-    # 16-bit and interlaced refuse loudly
-    for depth, interlace in ((16, 0), (8, 1)):
-        ihdr2 = struct.pack(">IIBBBBB", 2, 5, depth, 0, 0, 0, interlace)
-        png2 = (PNG_SIG + chunk(b"IHDR", ihdr2)
-                + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError):
-            parse_png(png2)
+    # 16-bit refuses loudly (the one remaining unimplemented variant)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 5, 16, 0, 0, 0, 0)
+    png2 = (PNG_SIG + chunk(b"IHDR", ihdr2)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        parse_png(png2)
+
+    # hand-built Adam7: 4x4 gray with pixel value 16*y + x, pass data
+    # laid out by hand per the spec's pass grid (passes 2/3 are empty)
+    adam = bytes(
+        [0, 0,              # pass 1: (0,0)
+         0, 2,              # pass 4: (0,2)
+         0, 32, 34,         # pass 5: (2,0) (2,2)
+         0, 1, 3,           # pass 6 row 0: (0,1) (0,3)
+         0, 33, 35,         # pass 6 row 1: (2,1) (2,3)
+         0, 16, 17, 18, 19,  # pass 7: row 1
+         0, 48, 49, 50, 51]  # pass 7: row 3
+    )
+    ihdr7 = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    png7 = (PNG_SIG + chunk(b"IHDR", ihdr7)
+            + chunk(b"IDAT", zlib.compress(adam)) + chunk(b"IEND", b""))
+    got7 = parse_png(png7)
+    want7 = (16 * np.arange(4)[:, None] + np.arange(4)).astype(np.uint8)
+    assert (got7 == want7).all()
+
+    # hand-built 2-bit gray, one row [0,1,2,3] packed MSB-first into one
+    # byte (0b00011011) -> sample-scaled by 85
+    ihdr2b = struct.pack(">IIBBBBB", 4, 1, 2, 0, 0, 0, 0)
+    png2b = (PNG_SIG + chunk(b"IHDR", ihdr2b)
+             + chunk(b"IDAT", zlib.compress(bytes([0, 0b00011011])))
+             + chunk(b"IEND", b""))
+    assert (parse_png(png2b) == np.array([[0, 85, 170, 255]])).all()
 
 
 def test_decode_image_routes_png_by_magic():
@@ -914,6 +939,9 @@ SYSTEM_PNGS = [
     "/usr/share/doc/nodejs/osx_installer_logo.png",  # palette + tRNS
     "/usr/share/gitweb/static/git-logo.png",
     "/usr/share/doc/python3/_static/file.png",
+    "/usr/share/doc/libpng-dev/examples/pngtest.png",  # Adam7 RGBA
+    "/usr/share/gitweb/static/git-favicon.png",  # 2-bit palette
+    "/usr/share/icons/hicolor/48x48/apps/gvim.png",  # 4-bit palette
 ]
 
 
