@@ -195,14 +195,14 @@ def write_png(img: np.ndarray, filter_type: int | str = 0,
 
 
 def parse_png(payload: bytes) -> np.ndarray:
-    """Parse a PNG (color types 0/2/3/4/6, bit depths 1/2/4/8, all five
-    row filters, sequential or Adam7-interlaced, CRC-checked). Returns
-    uint8 (h, w) for gray (sub-byte depths sample-scaled to 0..255),
-    else (h, w, channels); palette images resolve through PLTE to
-    (h, w, 3) — or (h, w, 4) when a tRNS chunk carries per-entry alpha
-    (short tables pad to opaque per the spec). 16-bit images raise
-    NotImplementedError (the one remaining variant; the decoder refuses
-    rather than guessing at sample scaling)."""
+    """Parse a PNG (color types 0/2/3/4/6, bit depths 1/2/4/8/16, all
+    five row filters, sequential or Adam7-interlaced, CRC-checked).
+    Returns uint8 (h, w) for gray, else (h, w, channels): sub-byte
+    depths sample-scale to 0..255, 16-bit reduces by the rounded
+    255/65535 scale (libpng scale_16 — byte-exact vs Java ImageIO on
+    real files); palette images resolve through PLTE to (h, w, 3) — or
+    (h, w, 4) when a tRNS chunk carries per-entry alpha (short tables
+    pad to opaque per the spec)."""
     import zlib
 
     if payload[: len(PNG_SIG)] != PNG_SIG:
@@ -239,13 +239,15 @@ def parse_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad IHDR compression/filter method")
-    if depth not in (1, 2, 4, 8):
-        raise NotImplementedError(f"{depth}-bit PNG (subset: 1/2/4/8)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"{depth}-bit PNG")
     if color_type not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type}")
-    if depth != 8 and color_type not in (0, 3):
+    if depth < 8 and color_type not in (0, 3):
         raise ValueError(f"{depth}-bit depth invalid for color type "
                          f"{color_type} (spec: gray/palette only)")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit depth invalid for palette images")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
@@ -341,10 +343,16 @@ def _png_unfilter(flat: np.ndarray, pos: int, h: int, stride: int,
 
 def _png_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
     """Unpack (h, stride) filtered bytes to (h, w*ch) uint8 samples:
-    identity at depth 8, MSB-first bit groups below (unscaled — gray
-    sample scaling and palette lookup happen in the caller)."""
+    identity at depth 8, MSB-first bit groups below 8 (unscaled — gray
+    sample scaling and palette lookup happen in the caller), and the
+    rounded 255/65535 reduction at depth 16 (libpng's scale_16; never
+    ties exactly at .5 since 65535 is odd)."""
     if depth == 8:
         return rows[:, : w * ch]
+    if depth == 16:
+        v16 = ((rows[:, : w * ch * 2 : 2].astype(np.uint32) << 8)
+               | rows[:, 1 : w * ch * 2 : 2])
+        return ((v16 * 255 + 32767) // 65535).astype(np.uint8)
     bits = np.unpackbits(rows, axis=1)
     weights = 1 << np.arange(depth - 1, -1, -1)
     groups = bits[:, : w * depth].reshape(rows.shape[0], w, depth)

@@ -209,12 +209,14 @@ def test_png_handcrafted_bytes_decode_exactly():
     with pytest.raises(ValueError, match="CRC"):
         parse_png(bytes(bad))
 
-    # 16-bit refuses loudly (the one remaining unimplemented variant)
-    ihdr2 = struct.pack(">IIBBBBB", 2, 5, 16, 0, 0, 0, 0)
-    png2 = (PNG_SIG + chunk(b"IHDR", ihdr2)
-            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        parse_png(png2)
+    # hand-built 16-bit gray, one row of big-endian samples; reduction is
+    # the rounded 255/65535 scale: 0->0, 0x8000->round(127.998)=128,
+    # 0xFFFF->255, 0x0101->1 (0x0101*255/65535 == 1.00392 exactly)
+    row16 = bytes([0, 0x00, 0x00, 0x80, 0x00, 0xFF, 0xFF, 0x01, 0x01])
+    ihdr16 = struct.pack(">IIBBBBB", 4, 1, 16, 0, 0, 0, 0)
+    png16 = (PNG_SIG + chunk(b"IHDR", ihdr16)
+             + chunk(b"IDAT", zlib.compress(row16)) + chunk(b"IEND", b""))
+    assert (parse_png(png16) == np.array([[0, 128, 255, 1]])).all()
 
     # hand-built Adam7: 4x4 gray with pixel value 16*y + x, pass data
     # laid out by hand per the spec's pass grid (passes 2/3 are empty)
@@ -942,6 +944,7 @@ SYSTEM_PNGS = [
     "/usr/share/doc/libpng-dev/examples/pngtest.png",  # Adam7 RGBA
     "/usr/share/gitweb/static/git-favicon.png",  # 2-bit palette
     "/usr/share/icons/hicolor/48x48/apps/gvim.png",  # 4-bit palette
+    "/usr/share/info/gnupg-module-overview.png",  # 16-bit RGBA
 ]
 
 
