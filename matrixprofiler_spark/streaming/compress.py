@@ -1,0 +1,335 @@
+"""Compression policy: the TimescaleDB ``compress_chunks`` analog.
+
+The retention stack so far covers the serving view (``retention_policy``)
+and physical expiry (``RetentionExpiryJob`` — the ``drop_chunks`` analog).
+This module adds the third TimescaleDB lifecycle stage the north star
+names explicitly ("Gorilla XOR + delta-of-delta encoding of rolled-up
+points into binary columns"): a snapshot-committed job that physically
+REWRITES aged fine-tier rows into delta-of-delta-encoded columnar segment
+blobs, exactly the way ``compress_chunks`` turns a row chunk into
+compressed per-column batches (segmentby = (doc_id, source), orderby =
+bucket), while recent rows stay row-form for cheap appends/queries.
+
+Semantics (per-doc watermark math shared with the expiry job /
+``retention_policy`` serving view):
+
+* per-doc watermark  ``wm = (max(bucket)+1) * fine_size``
+* compress cutoff    ``cut = floor((wm - horizon)/chunk_span)*chunk_span``
+  — aligned DOWN to the chunk grid, so compression moves in whole-chunk
+  quanta (TimescaleDB compresses whole chunks, never partial ones)
+* a fine bucket is COMPRESSED iff ``(bucket+1)*fine_size <= cut``;
+  otherwise it stays in the row-form HEAD store.
+
+A segment is one (doc_id, source, chunk) group — ``chunk =
+bucket*fine_size // chunk_span`` — holding at most ``chunk_span /
+fine_size`` buckets, each stat column delta-of-delta encoded (all fine
+stat columns are exact integers; DoD round-trips any int64 —
+codec-tested). Unlike expiry, NO information is dropped:
+``read_fine()`` (head UNION decoded segments) is row-identical to the
+input store — pytest-asserted, and the driver face hashes the decoded
+store so the oracle certifies decode(encode(x)) == x through a resumed
+commit.
+
+Segment rows carry ``b_min``/``b_max`` bucket bounds, so a range query
+prunes segments BEFORE any decode work — the chunk-exclusion analog;
+``read_fine(bucket_min=..., bucket_max=...)`` pushes those bounds to the
+parquet scan (plan-tested) and only surviving segments reach the
+Arrow decode kernel.
+
+Commit contract: identical to :class:`RetentionExpiryJob` (staged
+hive-partitioned input bound to one (input, policy) fingerprint;
+per-group lineage manifests written LAST via write-then-rename as the
+commit point; idempotent data overwrites; kill-and-resume pytested).
+
+Scale shape: one staged write + n_groups pruned reads; per group one
+map-side-combinable watermark aggregate over ROLLUP rows, one equi-join
+on (doc_id, source), one applyInPandas whose groups are bounded by the
+chunk grid (<= chunk_span/fine_size rows each — no skew regardless of
+doc length). At 1000 executors each group maps to Iceberg partition
+REPLACE WHERE commits exactly as the expiry job documents. Reference
+analog for the precompute/serve lifecycle: the stats-struct reuse of
+/root/reference/src/mass.cpp:408-443.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import __version__
+from ..codecs import dod_decode, dod_encode
+from .checkpoint import read_manifest
+from .expiry import RetentionExpiryJob
+
+STAGE = "compress"
+
+FINE_COLS = ["doc_id", "source", "bucket", "cnt", "sum_v", "sumsq",
+             "min_v", "max_v"]
+_STAT_COLS = ["bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v"]
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("chunk", T.LongType(), False),
+        T.StructField("n_rows", T.IntegerType(), False),
+        T.StructField("b_min", T.LongType(), False),
+        T.StructField("b_max", T.LongType(), False),
+        T.StructField("bucket_blob", T.BinaryType(), False),
+        T.StructField("cnt_blob", T.BinaryType(), False),
+        T.StructField("sum_blob", T.BinaryType(), False),
+        T.StructField("sumsq_blob", T.BinaryType(), False),
+        T.StructField("min_blob", T.BinaryType(), False),
+        T.StructField("max_blob", T.BinaryType(), False),
+        T.StructField("blob_bytes", T.LongType(), False),
+    ]
+)
+
+_FINE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("sum_v", T.LongType(), False),
+        T.StructField("sumsq", T.LongType(), False),
+        T.StructField("min_v", T.IntegerType(), False),
+        T.StructField("max_v", T.IntegerType(), False),
+    ]
+)
+
+
+def _pack_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("bucket")
+    blobs = {c: dod_encode(pdf[c].to_numpy(dtype=np.int64))
+             for c in _STAT_COLS}
+    b = pdf["bucket"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": [pdf["doc_id"].iloc[0]],
+            "source": [pdf["source"].iloc[0]],
+            "chunk": [int(pdf["chunk"].iloc[0])],
+            "n_rows": [len(pdf)],
+            "b_min": [int(b[0])],
+            "b_max": [int(b[-1])],
+            "bucket_blob": [blobs["bucket"]],
+            "cnt_blob": [blobs["cnt"]],
+            "sum_blob": [blobs["sum_v"]],
+            "sumsq_blob": [blobs["sumsq"]],
+            "min_blob": [blobs["min_v"]],
+            "max_blob": [blobs["max_v"]],
+            "blob_bytes": [sum(len(v) for v in blobs.values())],
+        }
+    )
+
+
+def _decode_segments(batches):
+    cols = dict(zip(
+        _STAT_COLS,
+        ["bucket_blob", "cnt_blob", "sum_blob", "sumsq_blob",
+         "min_blob", "max_blob"],
+    ))
+    for b in batches:
+        if not len(b):
+            continue
+        per_col: dict[str, list[np.ndarray]] = {c: [] for c in _STAT_COLS}
+        for r in b.itertuples(index=False):
+            for c, blob_col in cols.items():
+                per_col[c].append(dod_decode(bytes(getattr(r, blob_col))))
+        n = b["n_rows"].to_numpy()
+        out = {
+            "doc_id": np.repeat(b["doc_id"].to_numpy(), n),
+            "source": np.repeat(b["source"].to_numpy(), n),
+        }
+        for c in _STAT_COLS:
+            out[c] = np.concatenate(per_col[c])
+        out["min_v"] = out["min_v"].astype(np.int32)
+        out["max_v"] = out["max_v"].astype(np.int32)
+        yield pd.DataFrame(out)
+
+
+class CompressionPolicyJob(RetentionExpiryJob):
+    """Partition-grouped, resumable compression of a fine-tier rollup
+    store into head rows + DoD segment blobs. ``chunk_span`` (token
+    positions per compressed chunk, a multiple of ``fine_size``) plays
+    the parent's ``coarse_size`` role in the cutoff alignment;
+    ``horizon`` is how much recent history stays row-form."""
+
+    STAGE = STAGE
+
+    def __init__(self, spark: SparkSession, base_dir: str | Path,
+                 fine_size: int, chunk_span: int, horizon: int,
+                 n_groups: int = 8):
+        super().__init__(spark, base_dir, fine_size, chunk_span, horizon,
+                         n_groups=n_groups)
+        self.chunk_span = chunk_span
+
+    # ---------------------------------------------------------- staging
+
+    def stage_input(self, fine: DataFrame) -> DataFrame:
+        missing = [c for c in FINE_COLS if c not in fine.columns]
+        if missing:
+            raise ValueError(
+                f"fine store is missing columns {missing}; the compression "
+                f"job stores exactly {FINE_COLS} (a single-tier store — "
+                "constant columns like `tier` are the caller's to re-attach)"
+            )
+        return super().stage_input(fine.select(*FINE_COLS))
+
+    # ------------------------------------------------------------- run
+
+    def run(self, fine: DataFrame, fail_after: int | None = None) -> list[int]:
+        done = set(self.completed_groups())
+        staged = self.stage_input(fine)
+        fp = json.loads((self.base / "input_fingerprint.json").read_text())
+        processed = []
+        for k in range(self.n_groups):
+            if k in done:
+                continue
+            if fail_after is not None and len(processed) >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {fail_after} groups")
+            t0 = time.time()
+            part = staged.filter(F.col("grp") == k).drop("grp")
+            wm = part.groupBy("doc_id", "source").agg(
+                ((F.max("bucket") + 1) * self.fine_size).alias("wm"))
+            cut = (
+                F.floor((F.col("wm") - self.horizon) / self.chunk_span)
+                * self.chunk_span
+            ).cast("long")
+            joined = part.join(wm, ["doc_id", "source"])
+            compress_pred = (F.col("bucket") + 1) * self.fine_size <= cut
+            head = joined.where(~compress_pred).drop("wm")
+            cold = (
+                joined.where(compress_pred).drop("wm")
+                .withColumn(
+                    "chunk",
+                    F.floor(F.col("bucket") * self.fine_size
+                            / self.chunk_span).cast("long"),
+                )
+            )
+            segments = cold.groupBy("doc_id", "source", "chunk").applyInPandas(
+                _pack_segment, schema=SEGMENT_SCHEMA)
+            head_path = str(self.base / "head" / f"grp={k}")
+            seg_path = str(self.base / "segments" / f"grp={k}")
+            head.write.mode("overwrite").parquet(head_path)
+            segments.write.mode("overwrite").parquet(seg_path)
+            rows_in = part.count()
+            rows_head = self.spark.read.parquet(head_path).count()
+            seg_c = self.spark.read.parquet(seg_path).agg(
+                F.count("*").alias("n_segments"),
+                F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows_compressed"),
+                F.coalesce(F.sum("blob_bytes"), F.lit(0)).alias("blob_bytes"),
+            ).collect()[0]
+            rows_compressed = int(seg_c["rows_compressed"])
+            elapsed = time.time() - t0
+            manifest = {
+                "stage": self.STAGE,
+                "part": k,
+                "rows_in": int(rows_in),
+                "rows_head": int(rows_head),
+                "rows_compressed": rows_compressed,
+                "n_segments": int(seg_c["n_segments"]),
+                "blob_bytes": int(seg_c["blob_bytes"]),
+                # 6 int64 stat columns per row-form fine row
+                "logical_bytes": rows_compressed * 8 * len(_STAT_COLS),
+                "policy": {
+                    "fine_size": self.fine_size,
+                    "chunk_span": self.chunk_span,
+                    "horizon": self.horizon,
+                },
+                "elapsed_sec": round(elapsed, 3),
+                "rows_per_sec": round(rows_in / elapsed, 1)
+                if elapsed else None,
+                "kernel_version": __version__,
+                "input_fingerprint": fp,
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            tmp = self.base / "manifests" / f".{self.STAGE}_{k}.json.tmp"
+            tmp.write_text(json.dumps(manifest))
+            os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
+            processed.append(k)
+        if len(self.completed_groups()) == self.n_groups:
+            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
+        return processed
+
+    # --------------------------------------------------------- reading
+
+    def head(self) -> DataFrame:
+        """Recent rows still in row form (full commit required)."""
+        self._require_committed()
+        return self.spark.read.parquet(str(self.base / "head")).drop("grp")
+
+    def segments(self, bucket_min: int | None = None,
+                 bucket_max: int | None = None) -> DataFrame:
+        """Compressed segment rows, chunk-excluded by the requested bucket
+        range BEFORE any decode — the ``b_min``/``b_max`` predicates reach
+        the parquet scan as pushed filters (plan-tested)."""
+        self._require_committed()
+        seg = self.spark.read.parquet(str(self.base / "segments")).drop("grp")
+        if bucket_min is not None:
+            seg = seg.filter(F.col("b_max") >= int(bucket_min))
+        if bucket_max is not None:
+            seg = seg.filter(F.col("b_min") <= int(bucket_max))
+        return seg
+
+    def read_fine(self, bucket_min: int | None = None,
+                  bucket_max: int | None = None) -> DataFrame:
+        """The transparently-decoding serving view: head UNION decoded
+        segments; with no range, row-identical to the input fine store
+        (pytest-asserted + driver-face-hashed). With a range, segment
+        pruning happens before decode and an exact bucket filter after."""
+        cold = self.segments(bucket_min, bucket_max).mapInPandas(
+            _decode_segments, schema=_FINE_OUT_SCHEMA)
+        head = self.head().select(*FINE_COLS)
+        out = head.unionByName(cold.select(*FINE_COLS))
+        if bucket_min is not None:
+            out = out.filter(F.col("bucket") >= int(bucket_min))
+        if bucket_max is not None:
+            out = out.filter(F.col("bucket") <= int(bucket_max))
+        return out
+
+    def result(self) -> DataFrame:
+        """Alias for the full serving view (contract parity with the
+        expiry job's ``result``)."""
+        return self.read_fine()
+
+    def watermarks(self) -> DataFrame:
+        raise NotImplementedError(
+            "compression drops no rows, so the watermark stays derivable "
+            "from the store itself — read_fine() and retention_policy "
+            "recompute it; no stored watermark table exists"
+        )
+
+    def serving_view(self, coarse: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError(
+            "compose explicitly: retention_policy(job.read_fine(), coarse, "
+            "...) — the compressed store is a drop-in fine tier"
+        )
+
+    def metrics(self) -> dict:
+        ms = [read_manifest(self.base, self.STAGE, k)
+              for k in range(self.n_groups)]
+        ms = [m for m in ms if m is not None]
+        blob = sum(m["blob_bytes"] for m in ms)
+        logical = sum(m["logical_bytes"] for m in ms)
+        return {
+            "groups_committed": len(ms),
+            "rows_in": sum(m["rows_in"] for m in ms),
+            "rows_head": sum(m["rows_head"] for m in ms),
+            "rows_compressed": sum(m["rows_compressed"] for m in ms),
+            "n_segments": sum(m["n_segments"] for m in ms),
+            "blob_bytes": blob,
+            "logical_bytes": logical,
+            "compression_ratio": round(logical / blob, 3) if blob else None,
+            "elapsed_sec": round(sum(m["elapsed_sec"] for m in ms), 3),
+        }

@@ -74,6 +74,8 @@ class RetentionExpiryJob:
     policy's parameters (coarse_size must be a multiple of fine_size,
     horizon >= 0 — same domain the serving view enforces)."""
 
+    STAGE = STAGE  # subclasses (e.g. CompressionPolicyJob) override
+
     def __init__(self, spark: SparkSession, base_dir: str | Path,
                  fine_size: int, coarse_size: int, horizon: int,
                  n_groups: int = 8):
@@ -98,7 +100,7 @@ class RetentionExpiryJob:
     def completed_groups(self) -> list[int]:
         return [
             k for k in range(self.n_groups)
-            if read_manifest(self.base, STAGE, k) is not None
+            if read_manifest(self.base, self.STAGE, k) is not None
         ]
 
     def input_fingerprint(self, fine: DataFrame) -> dict:
@@ -209,7 +211,7 @@ class RetentionExpiryJob:
             rows_after, n_docs = int(agg["rows"]), int(agg["n_docs"])
             elapsed = time.time() - t0
             manifest = {
-                "stage": STAGE,
+                "stage": self.STAGE,
                 "part": k,
                 "rows_before": int(rows_before),
                 "rows_dropped": int(rows_before) - rows_after,
@@ -229,12 +231,12 @@ class RetentionExpiryJob:
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             # manifest write-then-rename is the commit point for group k
-            tmp = self.base / "manifests" / f".{STAGE}_{k}.json.tmp"
+            tmp = self.base / "manifests" / f".{self.STAGE}_{k}.json.tmp"
             tmp.write_text(json.dumps(manifest))
-            os.replace(tmp, self.base / "manifests" / f"{STAGE}_{k}.json")
+            os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
             processed.append(k)
         if len(self.completed_groups()) == self.n_groups:
-            (self.base / f"_stage_{STAGE}_COMMITTED").touch()
+            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
         return processed
 
     # --------------------------------------------------------- reading
@@ -244,7 +246,7 @@ class RetentionExpiryJob:
             set(range(self.n_groups)) - set(self.completed_groups()))
         if missing:
             raise RuntimeError(
-                f"expiry incomplete: groups {missing} have no manifest — "
+                f"{self.STAGE} incomplete: groups {missing} have no manifest — "
                 "run() to completion before reading the compacted store"
             )
 
@@ -269,7 +271,7 @@ class RetentionExpiryJob:
         )
 
     def metrics(self) -> dict:
-        ms = [read_manifest(self.base, STAGE, k) for k in range(self.n_groups)]
+        ms = [read_manifest(self.base, self.STAGE, k) for k in range(self.n_groups)]
         ms = [m for m in ms if m is not None]
         return {
             "groups_committed": len(ms),
@@ -464,7 +466,7 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
             elapsed = time.time() - t0
             rows_before = sum(c["rows_before"] for c in tier_census)
             manifest = {
-                "stage": STAGE,
+                "stage": self.STAGE,
                 "part": k,
                 "rows_before": rows_before,
                 "rows_dropped": sum(c["rows_dropped"] for c in tier_census),
@@ -479,12 +481,12 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
                 "committed_at": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            tmp = self.base / "manifests" / f".{STAGE}_{k}.json.tmp"
+            tmp = self.base / "manifests" / f".{self.STAGE}_{k}.json.tmp"
             tmp.write_text(json.dumps(manifest))
-            os.replace(tmp, self.base / "manifests" / f"{STAGE}_{k}.json")
+            os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
             processed.append(k)
         if len(self.completed_groups()) == self.n_groups:
-            (self.base / f"_stage_{STAGE}_COMMITTED").touch()
+            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
         return processed
 
     # --------------------------------------------------------- reading
@@ -519,7 +521,7 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
 
     def metrics(self) -> dict:
         out = super().metrics()
-        ms = [read_manifest(self.base, STAGE, k)
+        ms = [read_manifest(self.base, self.STAGE, k)
               for k in range(self.n_groups)]
         ms = [m for m in ms if m is not None]
         n_tiers = len(self.horizons)

@@ -1,0 +1,148 @@
+"""Compression policy (streaming/compress.py — the compress_chunks
+analog): kill-and-resume, decode identity (read_fine == input store, row
+for row), chunk-quantum semantics, segment pruning before decode, and
+input/policy binding inherited from the expiry contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matrixprofiler_spark.codecs import dod_decode
+from matrixprofiler_spark.operators.rollup import finest_rollup, retention_policy
+from matrixprofiler_spark.sources.tokens import synth_tokens_df
+from matrixprofiler_spark.streaming.compress import CompressionPolicyJob
+
+FINE, CHUNK, HORIZON = 16, 64, 32
+
+
+@pytest.fixture(scope="module")
+def fine(spark):
+    toks = synth_tokens_df(spark, 40, seed=7)
+    df = finest_rollup(toks, FINE).cache()
+    df.count()
+    return df
+
+
+def _rows(df):
+    cols = ["doc_id", "source", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v"]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_kill_resume_and_decode_identity(spark, fine, tmp_path_factory):
+    base = tmp_path_factory.mktemp("compress")
+    job = CompressionPolicyJob(spark, base, FINE, CHUNK, HORIZON, n_groups=6)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(fine, fail_after=3)
+    assert len(job.completed_groups()) == 3
+    assert not (base / "_stage_compress_COMMITTED").exists()
+    with pytest.raises(RuntimeError, match="compress incomplete"):
+        job.read_fine()
+
+    # resume completes exactly the remaining groups
+    done_before = set(job.completed_groups())
+    job2 = CompressionPolicyJob(spark, base, FINE, CHUNK, HORIZON, n_groups=6)
+    assert sorted(job2.run(fine)) == sorted(set(range(6)) - done_before)
+    assert (base / "_stage_compress_COMMITTED").exists()
+
+    # decode identity: head UNION decoded segments == input store
+    assert _rows(job2.read_fine()) == _rows(fine)
+
+    # the job actually compressed something, and the census is coherent
+    m = job2.metrics()
+    assert m["rows_compressed"] > 0 and m["n_segments"] > 0
+    assert m["rows_in"] == m["rows_head"] + m["rows_compressed"]
+    assert m["compression_ratio"] is not None
+
+    # idempotent re-run: nothing left to do
+    assert job2.run(fine) == []
+
+
+def test_chunk_quantum_semantics(spark, fine, tmp_path_factory):
+    """A bucket is compressed iff its chunk lies wholly at or below the
+    chunk-aligned cutoff — whole-chunk quanta, never a partial chunk."""
+    base = tmp_path_factory.mktemp("compress_q")
+    job = CompressionPolicyJob(spark, base, FINE, CHUNK, HORIZON, n_groups=2)
+    job.run(fine)
+    wm = fine.groupBy("doc_id", "source").agg(
+        ((F.max("bucket") + 1) * FINE).alias("wm"))
+    cut = (F.floor((F.col("wm") - HORIZON) / CHUNK) * CHUNK).cast("long")
+    expected_cold = (fine.join(wm, ["doc_id", "source"])
+                     .where((F.col("bucket") + 1) * FINE <= cut).drop("wm"))
+    cols = ["doc_id", "source", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v"]
+    cold_rows = _rows(
+        job.read_fine().select(*cols).exceptAll(job.head().select(*cols)))
+    assert cold_rows == _rows(expected_cold)
+    # every segment stays within one chunk's bucket span
+    bad = job.segments().where(
+        (F.col("b_max") - F.col("b_min") + 1) > CHUNK // FINE).count()
+    assert bad == 0
+    # blobs round-trip their own n_rows
+    seg = job.segments().limit(5).collect()
+    for r in seg:
+        assert dod_decode(bytes(r["bucket_blob"])).size == r["n_rows"]
+
+
+def test_segment_pruning_before_decode(spark, fine, tmp_path_factory):
+    base = tmp_path_factory.mktemp("compress_p")
+    job = CompressionPolicyJob(spark, base, FINE, CHUNK, 0, n_groups=2)
+    job.run(fine)
+    lo, hi = 2, 5
+    # pruned read is exactly the direct range filter of the input store
+    got = _rows(job.read_fine(bucket_min=lo, bucket_max=hi))
+    want = _rows(fine.where(F.col("bucket").between(lo, hi)))
+    assert got == want
+    # the range predicate reaches the segment parquet scan as pushed
+    # filters on the b_min/b_max metadata columns (chunk exclusion)
+    plan = job.segments(lo, hi)._jdf.queryExecution().executedPlan().toString()
+    assert "b_max" in plan and "b_min" in plan
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("b_max" in ln or "b_min" in ln for ln in pushed)
+    # pruning visibly cuts the segment set on this input
+    assert job.segments(lo, hi).count() < job.segments().count()
+
+
+def test_compressed_store_is_drop_in_fine_tier(spark, fine, tmp_path_factory):
+    """retention_policy over read_fine() == retention_policy over the
+    original store — the compressed store serves transparently."""
+    from matrixprofiler_spark.operators.rollup import cascade_tier
+
+    base = tmp_path_factory.mktemp("compress_s")
+    job = CompressionPolicyJob(spark, base, FINE, CHUNK, HORIZON, n_groups=2)
+    job.run(fine)
+    coarse = cascade_tier(fine, FINE, 64, "1h")
+    cols = ["doc_id", "source", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v", "tier"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    served_full = retention_policy(fine, coarse, FINE, 64, HORIZON)
+    served_comp = retention_policy(
+        job.read_fine().withColumn("tier", F.lit("1m")),
+        coarse, FINE, 64, HORIZON)
+    assert rows(served_comp) == rows(served_full)
+
+
+def test_binding_and_validation(spark, fine, tmp_path_factory):
+    base = tmp_path_factory.mktemp("compress_b")
+    with pytest.raises(ValueError, match="nest"):
+        CompressionPolicyJob(spark, base, 16, 40, 0)
+    with pytest.raises(ValueError, match="nonnegative"):
+        CompressionPolicyJob(spark, base, 16, 64, -1)
+    job = CompressionPolicyJob(spark, base, FINE, CHUNK, HORIZON, n_groups=2)
+    with pytest.raises(ValueError, match="missing columns"):
+        job.run(fine.drop("sumsq"))
+    job.run(fine)
+    # same base dir + different policy fails loudly
+    job3 = CompressionPolicyJob(spark, base, FINE, CHUNK, HORIZON + FINE,
+                                n_groups=2)
+    with pytest.raises(ValueError, match="fresh base dir"):
+        job3.run(fine)
+    # no stored watermark table by design
+    with pytest.raises(NotImplementedError, match="derivable"):
+        job.watermarks()
