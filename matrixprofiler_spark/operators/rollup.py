@@ -530,6 +530,87 @@ def retention_policy_multi(tiers: list, horizons: list[int],
     return out
 
 
+def realtime_rollup(materialized: DataFrame, tokens_df: DataFrame,
+                    fine_size: int, watermark: DataFrame | None = None,
+                    tag: bool = False) -> DataFrame:
+    """Real-time continuous aggregate view (TimescaleDB real-time CAGG
+    semantics): buckets wholly at or below the per-doc materialization
+    watermark are served from the STORED rollup; raw positions past the
+    watermark are aggregated ON THE FLY and unioned — so the view is
+    always complete even when the materializer lags ingest.
+
+    ``materialized`` is the stored fine-tier rollup (possibly stale — it
+    may stop short of each doc's true end); ``tokens_df`` is the raw
+    source. ``watermark`` is the stored per-doc materialization watermark
+    ``(doc_id, source, wm)`` — the catalog-metadata analog; when None it
+    is derived from the materialized table as ``(max(bucket)+1) *
+    fine_size``. Every watermark must sit on a fine-bucket boundary
+    (true by construction for the derived form; enforced with a
+    fail-fast for stored ones — a misaligned watermark would split one
+    bucket across both sides and double-count its seam).
+
+    Served-exactly-once invariant: the materialized side is defensively
+    filtered to ``(bucket+1)*fine_size <= wm`` (TimescaleDB does the
+    same, so a freshly-materialized bucket racing the watermark update
+    cannot double-serve), the fresh side takes positions ``>= wm``, and
+    with an aligned watermark the two partition the offset axis — the
+    union equals ``finest_rollup(tokens)`` row for row (pytest + driver
+    face hash vs the oracle's single full rollup).
+
+    Scale shape: one map-side-combinable watermark aggregate (when
+    derived) + one equi-join per side on (doc_id, source); the fresh
+    side explodes ONLY the post-watermark token tail (JVM-side
+    ``posexplode`` + hash aggregate — at steady state the tail is the
+    ingest lag, a vanishing fraction of the corpus), never the full
+    arrays. A doc absent from the watermark (never materialized) is
+    served entirely from raw (wm -> 0 via coalesce on a left join).
+
+    ``tag=True`` appends a ``part`` column ('materialized' | 'fresh') so
+    certification can hash WHICH side served each row."""
+    if watermark is None:
+        wm = materialized.groupBy("doc_id", "source").agg(
+            ((F.max("bucket") + 1) * fine_size).alias("wm"))
+    else:
+        checked = F.when(
+            F.pmod(F.col("wm"), fine_size) != 0,
+            F.raise_error(F.lit(
+                "realtime_rollup: stored watermark is not aligned to a "
+                "fine-bucket boundary — it must be (max(bucket)+1) * "
+                "fine_size of the materialized store"
+            )).cast("long"),
+        ).otherwise(F.col("wm"))
+        wm = watermark.select("doc_id", "source", checked.alias("wm"))
+    stat_cols = ["cnt", "sum_v", "sumsq", "min_v", "max_v"]
+    mat = (
+        materialized.join(wm, ["doc_id", "source"], "left")
+        .where((F.col("bucket") + 1) * fine_size
+               <= F.coalesce(F.col("wm"), F.lit(0)))
+        .select("doc_id", "source", "bucket", *stat_cols)
+    )
+    fresh = (
+        tokens_df.join(wm, ["doc_id", "source"], "left")
+        .withColumn("wm", F.coalesce(F.col("wm"), F.lit(0)))
+        .select("doc_id", "source", "wm",
+                F.posexplode("tokens").alias("pos", "tok"))
+        .where(F.col("pos") >= F.col("wm"))
+        .groupBy(
+            "doc_id", "source",
+            F.floor(F.col("pos") / fine_size).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("tok").cast("long").alias("sum_v"),
+            F.sum(F.col("tok").cast("long") * F.col("tok")).alias("sumsq"),
+            F.min("tok").cast("int").alias("min_v"),
+            F.max("tok").cast("int").alias("max_v"),
+        )
+    )
+    if tag:
+        mat = mat.withColumn("part", F.lit("materialized"))
+        fresh = fresh.withColumn("part", F.lit("fresh"))
+    return mat.unionByName(fresh)
+
+
 def gap_fill_locf(rollup: DataFrame, spine: DataFrame | None = None) -> DataFrame:
     """LOCF gap fill (TimescaleDB ``locf()``): missing buckets carry the
     LAST observed bucket's aggregates forward instead of zero-filling;

