@@ -39,6 +39,15 @@ def main() -> None:
              "committed 1m tier into <output>/expiry — fine buckets whose "
              "serving responsibility has passed to the 1h tier are "
              "physically dropped (snapshot-committed, resumable)")
+    ap.add_argument(
+        "--compress-horizon", type=int, default=None,
+        help="token-offset compression horizon; when set, runs the "
+             "compress_chunks-analog job (streaming/compress.py) of the "
+             "committed 1m tier into <output>/compress — fine buckets "
+             "older than the horizon are rewritten as per-(doc, 1h-chunk) "
+             "delta-of-delta segment blobs; recent rows stay row-form "
+             "(snapshot-committed, resumable; read back via "
+             "CompressionPolicyJob.read_fine)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -82,12 +91,27 @@ def main() -> None:
         ejob.run(fine)
         expiry_metrics = ejob.metrics()
 
+    compress_metrics = None
+    if args.compress_horizon is not None:
+        from matrixprofiler_spark.streaming.compress import CompressionPolicyJob
+
+        fine = job.result().filter(F.col("tier") == "1m").select(
+            "doc_id", "source", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v")
+        cjob = CompressionPolicyJob(
+            spark, Path(args.output) / "compress",
+            fine_size=job.bucket_size, chunk_span=3600,
+            horizon=args.compress_horizon, n_groups=args.groups)
+        cjob.run(fine)
+        compress_metrics = cjob.metrics()
+
     print(json.dumps({
         "groups_processed_this_run": processed,
         "run_elapsed_sec": round(time.time() - t0, 3),
         "window_points": int(window_points),
         "cumulative": metrics,
         "expiry": expiry_metrics,
+        "compress": compress_metrics,
     }))
     spark.stop()
 
