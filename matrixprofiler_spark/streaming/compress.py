@@ -83,6 +83,11 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("n_rows", T.IntegerType(), False),
         T.StructField("b_min", T.LongType(), False),
         T.StructField("b_max", T.LongType(), False),
+        # value zone map (parquet row-group-stats / chunk-skipping analog):
+        # bounds of the token values inside the segment, so a value
+        # predicate can skip segments without decoding them
+        T.StructField("v_min", T.IntegerType(), False),
+        T.StructField("v_max", T.IntegerType(), False),
         T.StructField("bucket_blob", T.BinaryType(), False),
         T.StructField("cnt_blob", T.BinaryType(), False),
         T.StructField("sum_blob", T.BinaryType(), False),
@@ -120,6 +125,8 @@ def _pack_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_rows": [len(pdf)],
             "b_min": [int(b[0])],
             "b_max": [int(b[-1])],
+            "v_min": [int(pdf["min_v"].min())],
+            "v_max": [int(pdf["max_v"].max())],
             "bucket_blob": [blobs["bucket"]],
             "cnt_blob": [blobs["cnt"]],
             "sum_blob": [blobs["sum_v"]],
@@ -270,32 +277,43 @@ class CompressionPolicyJob(RetentionExpiryJob):
         return self.spark.read.parquet(str(self.base / "head")).drop("grp")
 
     def segments(self, bucket_min: int | None = None,
-                 bucket_max: int | None = None) -> DataFrame:
+                 bucket_max: int | None = None,
+                 max_v_at_least: int | None = None) -> DataFrame:
         """Compressed segment rows, chunk-excluded by the requested bucket
-        range BEFORE any decode — the ``b_min``/``b_max`` predicates reach
-        the parquet scan as pushed filters (plan-tested)."""
+        range and/or value threshold BEFORE any decode — the
+        ``b_min``/``b_max``/``v_max`` predicates reach the parquet scan as
+        pushed filters (plan-tested). ``max_v_at_least`` skips segments
+        whose value zone map proves no row inside can reach the threshold
+        (``v_max`` is the max over the segment's ``max_v`` rows)."""
         self._require_committed()
         seg = self.spark.read.parquet(str(self.base / "segments")).drop("grp")
         if bucket_min is not None:
             seg = seg.filter(F.col("b_max") >= int(bucket_min))
         if bucket_max is not None:
             seg = seg.filter(F.col("b_min") <= int(bucket_max))
+        if max_v_at_least is not None:
+            seg = seg.filter(F.col("v_max") >= int(max_v_at_least))
         return seg
 
     def read_fine(self, bucket_min: int | None = None,
-                  bucket_max: int | None = None) -> DataFrame:
+                  bucket_max: int | None = None,
+                  max_v_at_least: int | None = None) -> DataFrame:
         """The transparently-decoding serving view: head UNION decoded
-        segments; with no range, row-identical to the input fine store
-        (pytest-asserted + driver-face-hashed). With a range, segment
-        pruning happens before decode and an exact bucket filter after."""
-        cold = self.segments(bucket_min, bucket_max).mapInPandas(
-            _decode_segments, schema=_FINE_OUT_SCHEMA)
+        segments; with no predicates, row-identical to the input fine
+        store (pytest-asserted + driver-face-hashed). With a bucket range
+        or a ``max_v`` threshold, segment pruning (chunk exclusion /
+        value zone map) happens before decode and the exact row filter
+        after."""
+        cold = self.segments(bucket_min, bucket_max, max_v_at_least) \
+            .mapInPandas(_decode_segments, schema=_FINE_OUT_SCHEMA)
         head = self.head().select(*FINE_COLS)
         out = head.unionByName(cold.select(*FINE_COLS))
         if bucket_min is not None:
             out = out.filter(F.col("bucket") >= int(bucket_min))
         if bucket_max is not None:
             out = out.filter(F.col("bucket") <= int(bucket_max))
+        if max_v_at_least is not None:
+            out = out.filter(F.col("max_v") >= int(max_v_at_least))
         return out
 
     def result(self) -> DataFrame:

@@ -106,6 +106,30 @@ def test_segment_pruning_before_decode(spark, fine, tmp_path_factory):
     assert job.segments(lo, hi).count() < job.segments().count()
 
 
+def test_value_zone_map_pruning(spark, fine, tmp_path_factory):
+    """Value zone maps (v_min/v_max per segment): a max_v threshold skips
+    segments before decode and serves exactly the direct filter."""
+    base = tmp_path_factory.mktemp("compress_v")
+    job = CompressionPolicyJob(spark, base, FINE, CHUNK, 0, n_groups=2)
+    job.run(fine)
+    # pick a threshold between the global median and max of max_v so both
+    # pruned and surviving segments exist
+    thr = int(fine.approxQuantile("max_v", [0.9], 0.0)[0])
+    got = _rows(job.read_fine(max_v_at_least=thr))
+    want = _rows(fine.where(F.col("max_v") >= thr))
+    assert got == want and len(got) > 0
+    assert job.segments(max_v_at_least=thr).count() < job.segments().count()
+    plan = (job.segments(max_v_at_least=thr)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan and "v_max" in plan
+    # zone maps are consistent with their decoded contents
+    seg = job.segments().limit(8).collect()
+    for r in seg:
+        mn = dod_decode(bytes(r["min_blob"]))
+        mx = dod_decode(bytes(r["max_blob"]))
+        assert r["v_min"] == int(mn.min()) and r["v_max"] == int(mx.max())
+
+
 def test_compressed_store_is_drop_in_fine_tier(spark, fine, tmp_path_factory):
     """retention_policy over read_fine() == retention_policy over the
     original store — the compressed store serves transparently."""
