@@ -182,6 +182,55 @@ def test_full_lifecycle_compress_then_expire(spark, fine, tmp_path_factory):
     assert rows(served_lifecycle) == rows(served_direct)
 
 
+def test_compress_random_configs_match_model(spark, tmp_path_factory):
+    """Randomized compression policies: random fine size, chunk multiple,
+    horizon and doc lengths, checked against a direct numpy model of the
+    chunk-aligned rule — decode identity always holds, every row lands on
+    the side (head vs segments) the model predicts, and the segment count
+    equals the model's distinct (doc, chunk) census."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=23, counter=[0, 0, 0, 0]))
+    for trial in range(4):
+        fine_size = int(rng.choice([4, 8, 16]))
+        chunk = fine_size * int(rng.choice([2, 4, 8]))
+        horizon = int(rng.integers(0, 3 * chunk))
+        docs = {f"t{trial}d{i}": int(rng.integers(1, 6 * chunk))
+                for i in range(8)}
+        tokens = spark.createDataFrame(
+            [(d, [int(v) for v in np.arange(n, dtype=np.int64) % 97], n,
+              "web") for d, n in docs.items()],
+            "doc_id string, tokens array<int>, n_tok int, source string")
+        fine_df = finest_rollup(tokens, fine_size).cache()
+        fine_df.count()
+        base = tmp_path_factory.mktemp(f"cmp_model_{trial}")
+        job = CompressionPolicyJob(spark, base, fine_size, chunk, horizon,
+                                   n_groups=2)
+        job.run(fine_df)
+        assert _rows(job.read_fine()) == _rows(fine_df)
+
+        # numpy model of the chunk-aligned compress rule
+        expect_cold, expect_segs = set(), set()
+        for d, n in docs.items():
+            wm = ((n + fine_size - 1) // fine_size) * fine_size
+            cut = int(np.floor((wm - horizon) / chunk) * chunk)
+            for b in range((n + fine_size - 1) // fine_size):
+                if (b + 1) * fine_size <= cut:
+                    expect_cold.add((d, b))
+                    expect_segs.add((d, b * fine_size // chunk))
+        from matrixprofiler_spark.streaming.compress import (
+            _FINE_OUT_SCHEMA,
+            _decode_segments,
+        )
+
+        got_cold = {(r["doc_id"], r["bucket"]) for r in job.segments()
+                    .mapInPandas(_decode_segments, schema=_FINE_OUT_SCHEMA)
+                    .select("doc_id", "bucket").collect()}
+        assert got_cold == expect_cold, (trial, fine_size, chunk, horizon)
+        assert job.metrics()["n_segments"] == len(expect_segs), trial
+        fine_df.unpersist()
+
+
 def test_binding_and_validation(spark, fine, tmp_path_factory):
     base = tmp_path_factory.mktemp("compress_b")
     with pytest.raises(ValueError, match="nest"):
