@@ -193,17 +193,21 @@ class CompressionPolicyJob(RetentionExpiryJob):
 
     # ------------------------------------------------------------- run
 
-    def run(self, fine: DataFrame, fail_after: int | None = None) -> list[int]:
-        done = set(self.completed_groups())
+    def run(self, fine: DataFrame, fail_after: int | None = None,
+            parallelism: int = 1) -> list[int]:
         staged = self.stage_input(fine)
         fp = json.loads((self.base / "input_fingerprint.json").read_text())
-        processed = []
-        for k in range(self.n_groups):
-            if k in done:
-                continue
-            if fail_after is not None and len(processed) >= fail_after:
-                raise RuntimeError(
-                    f"injected failure after {fail_after} groups")
+        todo = self._todo_groups()
+        if not todo:
+            return []
+        # per-group input census in ONE aggregate up front
+        rows_in_all = {
+            int(r["grp"]): int(r["n"])
+            for r in staged.groupBy("grp").agg(
+                F.count("*").alias("n")).collect()
+        }
+
+        def process(k: int) -> None:
             t0 = time.time()
             part = staged.filter(F.col("grp") == k).drop("grp")
             wm = part.groupBy("doc_id", "source").agg(
@@ -229,7 +233,7 @@ class CompressionPolicyJob(RetentionExpiryJob):
             seg_path = str(self.base / "segments" / f"grp={k}")
             head.write.mode("overwrite").parquet(head_path)
             segments.write.mode("overwrite").parquet(seg_path)
-            rows_in = part.count()
+            rows_in = rows_in_all.get(k, 0)
             rows_head = self.spark.read.parquet(head_path).count()
             seg_c = self.spark.read.parquet(seg_path).agg(
                 F.count("*").alias("n_segments"),
@@ -238,7 +242,7 @@ class CompressionPolicyJob(RetentionExpiryJob):
             ).collect()[0]
             rows_compressed = int(seg_c["rows_compressed"])
             elapsed = time.time() - t0
-            manifest = {
+            self._commit_manifest(k, {
                 "stage": self.STAGE,
                 "part": k,
                 "rows_in": int(rows_in),
@@ -260,14 +264,9 @@ class CompressionPolicyJob(RetentionExpiryJob):
                 "input_fingerprint": fp,
                 "committed_at": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            tmp = self.base / "manifests" / f".{self.STAGE}_{k}.json.tmp"
-            tmp.write_text(json.dumps(manifest))
-            os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
-            processed.append(k)
-        if len(self.completed_groups()) == self.n_groups:
-            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
-        return processed
+            })
+
+        return self._run_groups(todo, process, fail_after, parallelism)
 
     # --------------------------------------------------------- reading
 

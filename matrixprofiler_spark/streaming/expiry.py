@@ -103,6 +103,60 @@ class RetentionExpiryJob:
             if read_manifest(self.base, self.STAGE, k) is not None
         ]
 
+    # ------------------------------------------------- group commit loop
+
+    def _todo_groups(self) -> list[int]:
+        done = set(self.completed_groups())
+        return [k for k in range(self.n_groups) if k not in done]
+
+    def _commit_manifest(self, k: int, manifest: dict) -> None:
+        # manifest write-then-rename is the commit point for group k
+        tmp = self.base / "manifests" / f".{self.STAGE}_{k}.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
+
+    def _run_groups(self, todo: list[int], process, fail_after: int | None,
+                    parallelism: int) -> list[int]:
+        """Drive ``process(k)`` (which must end by committing group k's
+        manifest) over the incomplete groups. ``parallelism > 1`` commits
+        groups from concurrent driver threads — groups are independent
+        commit units, so this is safe (Spark schedules jobs from any
+        thread of one SparkContext) and it is what keeps the job scaling:
+        sequentially, each group's handful of driver-side actions
+        serializes ~5 scheduling latencies per group while the cluster
+        idles (measured: the compression job at 8 sequential groups sped
+        up only 1.06x from 2 to 8 cores; overlapped groups restore the
+        compute-bound ratio). ``fail_after`` (kill-injection tests)
+        forces the sequential path — the kill point is defined in
+        processed-group order."""
+        processed: list[int] = []
+        if fail_after is not None or parallelism <= 1:
+            for k in todo:
+                if fail_after is not None and len(processed) >= fail_after:
+                    raise RuntimeError(
+                        f"injected failure after {fail_after} groups")
+                process(k)
+                processed.append(k)
+        else:
+            import threading
+            from concurrent.futures import ThreadPoolExecutor
+
+            lock = threading.Lock()
+
+            def worker(k: int) -> None:
+                process(k)
+                with lock:
+                    processed.append(k)
+
+            with ThreadPoolExecutor(
+                max_workers=min(parallelism, max(len(todo), 1))
+            ) as ex:
+                for f in [ex.submit(worker, k) for k in todo]:
+                    f.result()
+        if len(self.completed_groups()) == self.n_groups:
+            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
+        return processed
+
     def input_fingerprint(self, fine: DataFrame) -> dict:
         """Order-independent identity of the fine store: row count + SUM
         of a full-row hash (decimal(38,0), so 2^63-scale addends cannot
@@ -170,19 +224,26 @@ class RetentionExpiryJob:
 
     # ------------------------------------------------------------- run
 
-    def run(self, fine: DataFrame, fail_after: int | None = None) -> list[int]:
+    def run(self, fine: DataFrame, fail_after: int | None = None,
+            parallelism: int = 1) -> list[int]:
         """Compact all incomplete groups; returns the groups processed
         this run. ``fail_after`` aborts after N groups (kill-and-resume
-        tests)."""
-        done = set(self.completed_groups())
+        tests); ``parallelism`` overlaps independent group commits from
+        driver threads (see :meth:`_run_groups`)."""
         staged = self.stage_input(fine)
         fp = json.loads((self.base / "input_fingerprint.json").read_text())
-        processed = []
-        for k in range(self.n_groups):
-            if k in done:
-                continue
-            if fail_after is not None and len(processed) >= fail_after:
-                raise RuntimeError(f"injected failure after {fail_after} groups")
+        todo = self._todo_groups()
+        if not todo:
+            return []
+        # per-group input census in ONE aggregate up front (the old
+        # per-group count re-scanned each staged partition serially)
+        before = {
+            int(r["grp"]): int(r["n"])
+            for r in staged.groupBy("grp").agg(
+                F.count("*").alias("n")).collect()
+        }
+
+        def process(k: int) -> None:
             t0 = time.time()
             part = staged.filter(F.col("grp") == k).drop("grp")  # pruned read
             wm = part.groupBy("doc_id", "source").agg(
@@ -203,14 +264,14 @@ class RetentionExpiryJob:
             out_path = str(self.base / "compacted" / f"grp={k}")
             kept.write.mode("overwrite").parquet(out_path)
             committed = self.spark.read.parquet(out_path)
-            rows_before = part.count()
+            rows_before = before.get(k, 0)
             agg = committed.agg(
                 F.count("*").alias("rows"),
                 F.countDistinct("doc_id", "source").alias("n_docs"),
             ).collect()[0]
             rows_after, n_docs = int(agg["rows"]), int(agg["n_docs"])
             elapsed = time.time() - t0
-            manifest = {
+            self._commit_manifest(k, {
                 "stage": self.STAGE,
                 "part": k,
                 "rows_before": int(rows_before),
@@ -229,15 +290,9 @@ class RetentionExpiryJob:
                 "input_fingerprint": fp,
                 "committed_at": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            # manifest write-then-rename is the commit point for group k
-            tmp = self.base / "manifests" / f".{self.STAGE}_{k}.json.tmp"
-            tmp.write_text(json.dumps(manifest))
-            os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
-            processed.append(k)
-        if len(self.completed_groups()) == self.n_groups:
-            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
-        return processed
+            })
+
+        return self._run_groups(todo, process, fail_after, parallelism)
 
     # --------------------------------------------------------- reading
 
@@ -399,18 +454,22 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
     # ------------------------------------------------------------- run
 
     def run(self, tiers: list[DataFrame],
-            fail_after: int | None = None) -> list[int]:
-        done = set(self.completed_groups())
+            fail_after: int | None = None,
+            parallelism: int = 1) -> list[int]:
         staged = self.stage_input(tiers)
         fp = json.loads((self.base / "input_fingerprint.json").read_text())
         fine_size = self.sizes[0]
-        processed = []
-        for k in range(self.n_groups):
-            if k in done:
-                continue
-            if fail_after is not None and len(processed) >= fail_after:
-                raise RuntimeError(
-                    f"injected failure after {fail_after} groups")
+        todo = self._todo_groups()
+        if not todo:
+            return []
+        # per-(group, tier) input census in ONE aggregate up front
+        before_all: dict[tuple[int, int], int] = {
+            (int(r["grp"]), int(r["tier_idx"])): int(r["n"])
+            for r in staged.groupBy("grp", "tier_idx").agg(
+                F.count("*").alias("n")).collect()
+        }
+
+        def process(k: int) -> None:
             t0 = time.time()
             grp = staged.filter(F.col("grp") == k).drop("grp")
             wm = (
@@ -444,9 +503,7 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
             kept.write.mode("overwrite").parquet(out_path)
             committed = self.spark.read.parquet(out_path)
             before = {
-                int(r["tier_idx"]): int(r["n"])
-                for r in grp.groupBy("tier_idx").agg(
-                    F.count("*").alias("n")).collect()
+                t: n for (g, t), n in before_all.items() if g == k
             }
             after = {
                 int(r["tier_idx"]): int(r["n"])
@@ -465,7 +522,7 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
             ]
             elapsed = time.time() - t0
             rows_before = sum(c["rows_before"] for c in tier_census)
-            manifest = {
+            self._commit_manifest(k, {
                 "stage": self.STAGE,
                 "part": k,
                 "rows_before": rows_before,
@@ -480,14 +537,9 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
                 "input_fingerprint": fp,
                 "committed_at": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            tmp = self.base / "manifests" / f".{self.STAGE}_{k}.json.tmp"
-            tmp.write_text(json.dumps(manifest))
-            os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
-            processed.append(k)
-        if len(self.completed_groups()) == self.n_groups:
-            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
-        return processed
+            })
+
+        return self._run_groups(todo, process, fail_after, parallelism)
 
     # --------------------------------------------------------- reading
 

@@ -182,6 +182,37 @@ def test_full_lifecycle_compress_then_expire(spark, fine, tmp_path_factory):
     assert rows(served_lifecycle) == rows(served_direct)
 
 
+def test_parallel_group_commit_equivalence(spark, fine, tmp_path_factory):
+    """parallelism > 1 overlaps independent group commits from driver
+    threads; the committed store and census are identical to the
+    sequential run (groups are independent commit units)."""
+    from matrixprofiler_spark.streaming.expiry import RetentionExpiryJob
+
+    b_seq = tmp_path_factory.mktemp("cmp_par_a")
+    b_par = tmp_path_factory.mktemp("cmp_par_b")
+    j_seq = CompressionPolicyJob(spark, b_seq, FINE, CHUNK, HORIZON, n_groups=6)
+    j_par = CompressionPolicyJob(spark, b_par, FINE, CHUNK, HORIZON, n_groups=6)
+    assert sorted(j_seq.run(fine)) == sorted(j_par.run(fine, parallelism=4))
+    assert _rows(j_seq.read_fine()) == _rows(j_par.read_fine())
+    ms, mp_ = j_seq.metrics(), j_par.metrics()
+    for k in ("rows_in", "rows_head", "rows_compressed", "n_segments",
+              "blob_bytes"):
+        assert ms[k] == mp_[k], k
+    # expiry inherits the same parallel commit loop
+    e_seq = tmp_path_factory.mktemp("exp_par_a")
+    e_par = tmp_path_factory.mktemp("exp_par_b")
+    js = RetentionExpiryJob(spark, e_seq, FINE, 64, HORIZON, n_groups=6)
+    jp = RetentionExpiryJob(spark, e_par, FINE, 64, HORIZON, n_groups=6)
+    js.run(fine)
+    jp.run(fine, parallelism=4)
+    cols = ["doc_id", "source", "bucket", "cnt", "sum_v", "sumsq",
+            "min_v", "max_v"]
+    assert (sorted(map(tuple, js.result().select(*cols).collect()))
+            == sorted(map(tuple, jp.result().select(*cols).collect())))
+    assert js.metrics() == {**jp.metrics(),
+                            "elapsed_sec": js.metrics()["elapsed_sec"]}
+
+
 def test_compress_random_configs_match_model(spark, tmp_path_factory):
     """Randomized compression policies: random fine size, chunk multiple,
     horizon and doc lengths, checked against a direct numpy model of the
