@@ -92,6 +92,116 @@ def dod_encode(values: np.ndarray) -> bytes:
     return header + _assemble(recs, total_bytes).tobytes()
 
 
+def dod_encode_many(arrays) -> list[bytes]:
+    """Encode MANY int64 series in one vectorized bit-assembly.
+
+    Byte-for-byte the same stream per series as :func:`dod_encode`
+    (test-asserted), but amortizes the masked vector passes over the
+    whole batch — the encode hot path of the compression-policy job,
+    where per-call overhead made 60-value segments cost ~0.4 ms each
+    (~6x per segment across the stat columns)."""
+    arrays = [np.ascontiguousarray(a, dtype=np.int64) for a in arrays]
+    all_sizes = np.array([a.size for a in arrays], dtype=np.int64)
+    n_all = len(arrays)
+    if n_all == 0:
+        return []
+    total = int(all_sizes.sum())
+    if total == 0:
+        return [np.uint32(0).tobytes()] * n_all
+    keep = np.nonzero(all_sizes > 0)[0]
+    arrays_ne = [arrays[i] for i in keep]
+    sizes = all_sizes[keep]
+    n_series = sizes.size
+
+    v = np.concatenate(arrays_ne)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    ends = np.cumsum(sizes)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+    is0 = within == 0
+    is1 = within == 1
+    with np.errstate(over="ignore"):  # int64 wraparound mirrors dod_encode
+        delta = np.zeros(total, dtype=np.int64)
+        delta[1:] = v[1:] - v[:-1]          # garbage at series firsts; masked
+        dod = np.zeros(total, dtype=np.int64)
+        dod[1:] = delta[1:] - delta[:-1]    # valid only where within >= 2
+
+    rest = ~(is0 | is1)
+    zero = rest & (dod == 0)
+    fit7 = rest & ~zero & (dod >= -63) & (dod <= 64)
+    fit9 = rest & ~zero & ~fit7 & (dod >= -255) & (dod <= 256)
+    fit12 = rest & ~zero & ~fit7 & ~fit9 & (dod >= -2047) & (dod <= 2048)
+    full = rest & ~zero & ~fit7 & ~fit9 & ~fit12
+
+    nbits = np.select(
+        [is0 | is1, zero, fit7, fit9, fit12, full],
+        [64, 1, 2 + 7, 3 + 9, 4 + 12, 4 + 64],
+    ).astype(np.int64)
+    # per-series bit length, padded to a byte boundary so series streams
+    # can be sliced out of the shared buffer independently
+    series_bits = np.asarray(np.add.reduceat(nbits, starts), dtype=np.int64)
+    padded_bits = ((series_bits + 7) // 8) * 8
+    series_bit_starts = np.concatenate(([0], np.cumsum(padded_bits)[:-1]))
+    wb = np.cumsum(nbits) - nbits
+    wb = wb - np.repeat(wb[starts], sizes)
+    offsets = np.repeat(series_bit_starts, sizes) + wb
+
+    total_bytes = int(padded_bits.sum()) // 8
+    byte_starts = series_bit_starts // 8
+    byte_lens = padded_bits // 8
+
+    # assemble in SERIES GROUPS (same cache-bounding as gorilla_encode_many)
+    step = 1 << 18
+    packed = np.empty(total_bytes, dtype=np.uint8)
+    g0 = 0
+    while g0 < n_series:
+        g1 = g0
+        vals = 0
+        while g1 < n_series and (vals == 0 or vals + sizes[g1] <= step):
+            vals += sizes[g1]
+            g1 += 1
+        v0, v1 = int(starts[g0]), int(ends[g1 - 1])
+        gb0 = int(byte_starts[g0])
+        gbytes = int(byte_starts[g1 - 1] + byte_lens[g1 - 1]) - gb0
+        sel = slice(v0, v1)
+        loc_off = offsets[sel] - gb0 * 8
+        v_l, d_l, dod_l = v[sel], delta[sel], dod[sel]
+        recs = []
+
+        def raw64(mask_l, vals_i64):
+            off = loc_off[mask_l]
+            p = off & 7
+            hi, lo = _dshift(vals_i64.astype(np.uint64), 128 - p - 64)
+            recs.append((hi, lo, off >> 3))
+
+        raw64(is0[sel], v_l[is0[sel]])
+        raw64(is1[sel], d_l[is1[sel]])
+        for (w, lo_b, _hi), mask, prefix, plen in (
+            (_BUCKETS[0], fit7, 2, 2),
+            (_BUCKETS[1], fit9, 6, 3),
+            (_BUCKETS[2], fit12, 14, 4),
+            ((64, None, None), full, 15, 4),
+        ):
+            mask_l = mask[sel]
+            if not mask_l.any():
+                continue
+            off = loc_off[mask_l]
+            p = off & 7
+            h1, l1 = _dshift(
+                np.full(off.size, prefix, dtype=np.uint64), 128 - p - plen)
+            payload = (dod_l[mask_l].astype(np.uint64) if lo_b is None
+                       else (dod_l[mask_l] - lo_b).astype(np.uint64))
+            h2, l2 = _dshift(payload, 128 - p - plen - w)
+            recs.append((h1 | h2, l1 | l2, off >> 3))
+        packed[gb0 : gb0 + gbytes] = _assemble(recs, gbytes)
+        g0 = g1
+
+    out: list[bytes] = [np.uint32(0).tobytes()] * n_all
+    for j in range(n_series):
+        body = packed[byte_starts[j] : byte_starts[j] + byte_lens[j]].tobytes()
+        out[int(keep[j])] = np.uint32(sizes[j]).tobytes() + body
+    return out
+
+
 def dod_decode(data: bytes) -> np.ndarray:
     n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
     out = np.empty(n, dtype=np.int64)

@@ -53,6 +53,20 @@ def test_dod_roundtrip(vals):
     np.testing.assert_array_equal(dod_decode(dod_encode(arr)), arr)
 
 
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                         min_size=0, max_size=24),
+                min_size=1, max_size=8))
+def test_dod_many_matches_single(series):
+    from matrixprofiler_spark.codecs import dod_encode_many
+
+    arrs = [np.array(s, dtype=np.int64) for s in series]
+    many = dod_encode_many(arrs)
+    for a, blob in zip(arrs, many):
+        assert blob == dod_encode(a)
+        np.testing.assert_array_equal(dod_decode(blob), a)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=50256), min_size=2, max_size=200),
