@@ -98,6 +98,12 @@ SEGMENT_SCHEMA = T.StructType(
     ]
 )
 
+# batch-write schema: the commit-group column rides along so the whole
+# batch can be written hive-partitioned by grp in one job
+_SEG_WRITE_SCHEMA = T.StructType(
+    [T.StructField("grp", T.LongType(), False), *SEGMENT_SCHEMA.fields]
+)
+
 _FINE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -158,6 +164,7 @@ def _pack_segments_batch(batches):
         n = len(b)
         yield pd.DataFrame(
             {
+                "grp": b["grp"].to_numpy(dtype=np.int64),
                 "doc_id": b["doc_id"].to_numpy(),
                 "source": b["source"].to_numpy(),
                 "chunk": b["chunk"].to_numpy(dtype=np.int64),
@@ -236,98 +243,157 @@ class CompressionPolicyJob(RetentionExpiryJob):
     # ------------------------------------------------------------- run
 
     def run(self, fine: DataFrame, fail_after: int | None = None,
-            parallelism: int = 1) -> list[int]:
+            parallelism: int | None = None) -> list[int]:
+        """Compress all incomplete groups IN ONE DATA PASS: head and
+        segments are written as whole-batch hive-partitioned writes with
+        dynamic partition overwrite (only the incomplete groups'
+        partitions are touched — committed groups' data is never
+        rewritten), then per-group manifests are derived from one grouped
+        read-back each. This replaces the former one-job-chain-per-group
+        loop, whose ~5 serialized driver actions per group dominated wall
+        time at any sandbox size (measured: 2→8 cores sped the loop up
+        only 1.06x; the batch shape is also the right cluster plan — one
+        big job saturates executors where 64 small ones idle them).
+
+        ``fail_after`` (kill-injection tests) restricts the batch to the
+        first N incomplete groups and raises after committing them —
+        observable semantics identical to the old sequential loop.
+        ``parallelism`` is accepted for API compatibility and ignored:
+        batch writes parallelize by partition, not by driver thread."""
         staged = self.stage_input(fine)
         fp = json.loads((self.base / "input_fingerprint.json").read_text())
         todo = self._todo_groups()
         if not todo:
             return []
-        # per-group input census in ONE aggregate up front
-        rows_in_all = {
-            int(r["grp"]): int(r["n"])
-            for r in staged.groupBy("grp").agg(
-                F.count("*").alias("n")).collect()
-        }
-
-        def process(k: int) -> None:
+        batch = todo[:fail_after] if fail_after is not None else todo
+        inject = fail_after is not None and fail_after < len(todo)
+        if batch:
             t0 = time.time()
-            part = staged.filter(F.col("grp") == k).drop("grp")
-            wm = part.groupBy("doc_id", "source").agg(
-                ((F.max("bucket") + 1) * self.fine_size).alias("wm"))
-            cut = (
-                F.floor((F.col("wm") - self.horizon) / self.chunk_span)
-                * self.chunk_span
-            ).cast("long")
-            joined = part.join(wm, ["doc_id", "source"])
-            compress_pred = (F.col("bucket") + 1) * self.fine_size <= cut
-            head = joined.where(~compress_pred).drop("wm")
-            cold = (
-                joined.where(compress_pred).drop("wm")
-                .withColumn(
-                    "chunk",
-                    F.floor(F.col("bucket") * self.fine_size
-                            / self.chunk_span).cast("long"),
+            sub = staged.where(F.col("grp").isin([int(k) for k in batch]))
+            rows_in_all = {
+                int(r["grp"]): int(r["n"])
+                for r in sub.groupBy("grp").agg(
+                    F.count("*").alias("n")).collect()
+            }
+            head_root = str(self.base / "head")
+            seg_root = str(self.base / "segments")
+            if rows_in_all:
+                # a doc lives wholly in one group (grp = hash(doc_id) %
+                # n_groups), so the watermark needs no grp key
+                wm = sub.groupBy("doc_id", "source").agg(
+                    ((F.max("bucket") + 1) * self.fine_size).alias("wm"))
+                cut = (
+                    F.floor((F.col("wm") - self.horizon) / self.chunk_span)
+                    * self.chunk_span
+                ).cast("long")
+                # persist: the head and segment branches both consume the
+                # join; uncached, each re-runs the scan + watermark shuffle
+                joined = sub.join(wm, ["doc_id", "source"]).persist()
+                compress_pred = (F.col("bucket") + 1) * self.fine_size <= cut
+                head = joined.where(~compress_pred).drop("wm")
+                cold = (
+                    joined.where(compress_pred).drop("wm")
+                    .withColumn(
+                        "chunk",
+                        F.floor(F.col("bucket") * self.fine_size
+                                / self.chunk_span).cast("long"),
+                    )
                 )
-            )
-            # group JVM-side (sort_array guarantees bucket order — bucket
-            # is the struct's first field and unique within a segment),
-            # then encode every segment of an Arrow batch in one
-            # vectorized pass
-            def _field(c):
-                # single-arg lambda: a 2-arg one would be read by
-                # F.transform as (element, index)
-                return lambda x: x.getField(c).cast("long")
 
-            grouped = (
-                cold.groupBy("doc_id", "source", "chunk")
-                .agg(F.sort_array(F.collect_list(F.struct(*_STAT_COLS)))
-                     .alias("r"))
-                .select(
-                    "doc_id", "source", "chunk",
-                    *[F.transform("r", _field(c)).alias(f"a_{c}")
-                      for c in _STAT_COLS],
+                # group JVM-side (sort_array guarantees bucket order —
+                # bucket is the struct's first field and unique within a
+                # segment), then encode every segment of an Arrow batch in
+                # one vectorized pass
+                def _field(c):
+                    # single-arg lambda: a 2-arg one would be read by
+                    # F.transform as (element, index)
+                    return lambda x: x.getField(c).cast("long")
+
+                grouped = (
+                    cold.groupBy("grp", "doc_id", "source", "chunk")
+                    .agg(F.sort_array(F.collect_list(F.struct(*_STAT_COLS)))
+                         .alias("r"))
+                    .select(
+                        "grp", "doc_id", "source", "chunk",
+                        *[F.transform("r", _field(c)).alias(f"a_{c}")
+                          for c in _STAT_COLS],
+                    )
                 )
-            )
-            segments = grouped.mapInPandas(
-                _pack_segments_batch, schema=SEGMENT_SCHEMA)
-            head_path = str(self.base / "head" / f"grp={k}")
-            seg_path = str(self.base / "segments" / f"grp={k}")
-            head.write.mode("overwrite").parquet(head_path)
-            segments.write.mode("overwrite").parquet(seg_path)
-            rows_in = rows_in_all.get(k, 0)
-            rows_head = self.spark.read.parquet(head_path).count()
-            seg_c = self.spark.read.parquet(seg_path).agg(
-                F.count("*").alias("n_segments"),
-                F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows_compressed"),
-                F.coalesce(F.sum("blob_bytes"), F.lit(0)).alias("blob_bytes"),
-            ).collect()[0]
-            rows_compressed = int(seg_c["rows_compressed"])
+                segments = grouped.mapInPandas(
+                    _pack_segments_batch, schema=_SEG_WRITE_SCHEMA)
+                try:
+                    (head.write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("grp").parquet(head_root))
+                    (segments.write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("grp").parquet(seg_root))
+                finally:
+                    joined.unpersist()
+                in_batch = F.col("grp").isin([int(k) for k in batch])
+                head_stats = {
+                    int(r["grp"]): int(r["n"])
+                    for r in self.spark.read.parquet(head_root)
+                    .where(in_batch)
+                    .groupBy("grp").agg(F.count("*").alias("n")).collect()
+                }
+                seg_stats = {
+                    int(r["grp"]): r
+                    for r in self.spark.read.parquet(seg_root)
+                    .where(in_batch)
+                    .groupBy("grp").agg(
+                        F.count("*").alias("n_segments"),
+                        F.sum("n_rows").alias("rows_compressed"),
+                        F.sum("blob_bytes").alias("blob_bytes"),
+                    ).collect()
+                }
+            else:
+                # fully empty batch (empty input store): keep the roots
+                # readable with schema-bearing empty unpartitioned writes
+                empty = staged.limit(0).drop("grp")
+                for k in batch:
+                    empty.write.mode("overwrite").parquet(
+                        str(Path(head_root) / f"grp={k}"))
+                    empty_seg = self.spark.createDataFrame([], SEGMENT_SCHEMA)
+                    empty_seg.write.mode("overwrite").parquet(
+                        str(Path(seg_root) / f"grp={k}"))
+                head_stats, seg_stats = {}, {}
             elapsed = time.time() - t0
-            self._commit_manifest(k, {
-                "stage": self.STAGE,
-                "part": k,
-                "rows_in": int(rows_in),
-                "rows_head": int(rows_head),
-                "rows_compressed": rows_compressed,
-                "n_segments": int(seg_c["n_segments"]),
-                "blob_bytes": int(seg_c["blob_bytes"]),
-                # 6 int64 stat columns per row-form fine row
-                "logical_bytes": rows_compressed * 8 * len(_STAT_COLS),
-                "policy": {
-                    "fine_size": self.fine_size,
-                    "chunk_span": self.chunk_span,
-                    "horizon": self.horizon,
-                },
-                "elapsed_sec": round(elapsed, 3),
-                "rows_per_sec": round(rows_in / elapsed, 1)
-                if elapsed else None,
-                "kernel_version": __version__,
-                "input_fingerprint": fp,
-                "committed_at": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            })
-
-        return self._run_groups(todo, process, fail_after, parallelism)
+            share = elapsed / len(batch)
+            for k in batch:
+                rows_in = rows_in_all.get(k, 0)
+                sc = seg_stats.get(k)
+                rows_compressed = int(sc["rows_compressed"]) if sc else 0
+                self._commit_manifest(k, {
+                    "stage": self.STAGE,
+                    "part": k,
+                    "rows_in": int(rows_in),
+                    "rows_head": head_stats.get(k, 0),
+                    "rows_compressed": rows_compressed,
+                    "n_segments": int(sc["n_segments"]) if sc else 0,
+                    "blob_bytes": int(sc["blob_bytes"]) if sc else 0,
+                    # 6 int64 stat columns per row-form fine row
+                    "logical_bytes": rows_compressed * 8 * len(_STAT_COLS),
+                    "policy": {
+                        "fine_size": self.fine_size,
+                        "chunk_span": self.chunk_span,
+                        "horizon": self.horizon,
+                    },
+                    # the batch write is shared work: per-group wall time
+                    # is reported as an equal share of the batch elapsed
+                    "elapsed_sec": round(share, 3),
+                    "rows_per_sec": round(rows_in / share, 1)
+                    if share else None,
+                    "kernel_version": __version__,
+                    "input_fingerprint": fp,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                })
+        if inject:
+            raise RuntimeError(f"injected failure after {fail_after} groups")
+        if len(self.completed_groups()) == self.n_groups:
+            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
+        return list(batch)
 
     # --------------------------------------------------------- reading
 

@@ -115,47 +115,6 @@ class RetentionExpiryJob:
         tmp.write_text(json.dumps(manifest))
         os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
 
-    def _run_groups(self, todo: list[int], process, fail_after: int | None,
-                    parallelism: int) -> list[int]:
-        """Drive ``process(k)`` (which must end by committing group k's
-        manifest) over the incomplete groups. ``parallelism > 1`` commits
-        groups from concurrent driver threads — groups are independent
-        commit units, so this is safe (Spark schedules jobs from any
-        thread of one SparkContext) and it is what keeps the job scaling:
-        sequentially, each group's handful of driver-side actions
-        serializes ~5 scheduling latencies per group while the cluster
-        idles (measured: the compression job at 8 sequential groups sped
-        up only 1.06x from 2 to 8 cores; overlapped groups restore the
-        compute-bound ratio). ``fail_after`` (kill-injection tests)
-        forces the sequential path — the kill point is defined in
-        processed-group order."""
-        processed: list[int] = []
-        if fail_after is not None or parallelism <= 1:
-            for k in todo:
-                if fail_after is not None and len(processed) >= fail_after:
-                    raise RuntimeError(
-                        f"injected failure after {fail_after} groups")
-                process(k)
-                processed.append(k)
-        else:
-            import threading
-            from concurrent.futures import ThreadPoolExecutor
-
-            lock = threading.Lock()
-
-            def worker(k: int) -> None:
-                process(k)
-                with lock:
-                    processed.append(k)
-
-            with ThreadPoolExecutor(
-                max_workers=min(parallelism, max(len(todo), 1))
-            ) as ex:
-                for f in [ex.submit(worker, k) for k in todo]:
-                    f.result()
-        if len(self.completed_groups()) == self.n_groups:
-            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
-        return processed
 
     def input_fingerprint(self, fine: DataFrame) -> dict:
         """Order-independent identity of the fine store: row count + SUM
@@ -225,74 +184,131 @@ class RetentionExpiryJob:
     # ------------------------------------------------------------- run
 
     def run(self, fine: DataFrame, fail_after: int | None = None,
-            parallelism: int = 1) -> list[int]:
-        """Compact all incomplete groups; returns the groups processed
-        this run. ``fail_after`` aborts after N groups (kill-and-resume
-        tests); ``parallelism`` overlaps independent group commits from
-        driver threads (see :meth:`_run_groups`)."""
+            parallelism: int | None = None) -> list[int]:
+        """Compact all incomplete groups IN ONE DATA PASS: the watermark
+        table and the compacted store are written as whole-batch
+        hive-partitioned writes with dynamic partition overwrite (only
+        incomplete groups' partitions are touched — committed groups'
+        data is never rewritten), then per-group manifests are derived
+        from one grouped read-back each. The former one-job-chain-per-
+        group loop serialized ~4 driver actions per group, which
+        dominated wall time at any sandbox input size; the batch shape
+        is also the right cluster plan — one big job saturates
+        executors where N small sequential ones idle them. Fully-expired
+        groups get a schema-bearing empty partition backfill so an
+        emptied store stays readable (pytest-pinned edge).
+
+        ``fail_after`` (kill-injection tests) restricts the batch to the
+        first N incomplete groups and raises after committing them —
+        observable semantics identical to the old sequential loop.
+        ``parallelism`` is accepted for API compatibility and ignored."""
         staged = self.stage_input(fine)
         fp = json.loads((self.base / "input_fingerprint.json").read_text())
         todo = self._todo_groups()
         if not todo:
             return []
-        # per-group input census in ONE aggregate up front (the old
-        # per-group count re-scanned each staged partition serially)
-        before = {
-            int(r["grp"]): int(r["n"])
-            for r in staged.groupBy("grp").agg(
-                F.count("*").alias("n")).collect()
-        }
-
-        def process(k: int) -> None:
+        batch = todo[:fail_after] if fail_after is not None else todo
+        inject = fail_after is not None and fail_after < len(todo)
+        if batch:
             t0 = time.time()
-            part = staged.filter(F.col("grp") == k).drop("grp")  # pruned read
-            wm = part.groupBy("doc_id", "source").agg(
-                ((F.max("bucket") + 1) * self.fine_size).alias("wm")
-            )
-            wm_path = str(self.base / "watermarks" / f"grp={k}")
-            wm.write.mode("overwrite").parquet(wm_path)
-            wm_c = self.spark.read.parquet(wm_path)
-            cut = (
-                F.floor((F.col("wm") - self.horizon) / self.coarse_size)
-                * self.coarse_size
-            ).cast("long")
-            kept = (
-                part.join(wm_c, ["doc_id", "source"])
-                .where((F.col("bucket") + 1) * self.fine_size > cut)
-                .drop("wm")
-            )
-            out_path = str(self.base / "compacted" / f"grp={k}")
-            kept.write.mode("overwrite").parquet(out_path)
-            committed = self.spark.read.parquet(out_path)
-            rows_before = before.get(k, 0)
-            agg = committed.agg(
-                F.count("*").alias("rows"),
-                F.countDistinct("doc_id", "source").alias("n_docs"),
-            ).collect()[0]
-            rows_after, n_docs = int(agg["rows"]), int(agg["n_docs"])
+            in_batch = F.col("grp").isin([int(k) for k in batch])
+            sub = staged.where(in_batch)
+            before = {
+                int(r["grp"]): int(r["n"])
+                for r in sub.groupBy("grp").agg(
+                    F.count("*").alias("n")).collect()
+            }
+            wm_root = str(self.base / "watermarks")
+            comp_root = str(self.base / "compacted")
+            stats: dict[int, dict] = {}
+            if before:
+                # a doc lives wholly in one group, so grp can ride along
+                # as a watermark key without changing its doc grain
+                wm = sub.groupBy("grp", "doc_id", "source").agg(
+                    ((F.max("bucket") + 1) * self.fine_size).alias("wm"))
+                # persist the PRE-compaction watermark first (the serving
+                # view over a compacted store must read the stored one)
+                (wm.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("grp").parquet(wm_root))
+                wm_c = (self.spark.read.parquet(wm_root)
+                        .where(in_batch).drop("grp"))
+                cut = (
+                    F.floor((F.col("wm") - self.horizon) / self.coarse_size)
+                    * self.coarse_size
+                ).cast("long")
+                kept = (
+                    sub.join(wm_c, ["doc_id", "source"])
+                    .where((F.col("bucket") + 1) * self.fine_size > cut)
+                    .drop("wm")
+                )
+                (kept.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("grp").parquet(comp_root))
+                stats = self._read_back_stats(comp_root, in_batch)
+            # schema-bearing empty partitions for groups the dynamic
+            # write skipped (no rows kept / no rows at all), so an
+            # emptied store stays readable
+            empty_kept = staged.limit(0).drop("grp")
+            empty_wm = (staged.limit(0).groupBy("doc_id", "source")
+                        .agg(F.lit(0).cast("long").alias("wm")))
+            for k in batch:
+                if k not in stats:
+                    empty_kept.write.mode("overwrite").parquet(
+                        str(Path(comp_root) / f"grp={k}"))
+                if before.get(k) is None:
+                    empty_wm.write.mode("overwrite").parquet(
+                        str(Path(wm_root) / f"grp={k}"))
             elapsed = time.time() - t0
-            self._commit_manifest(k, {
-                "stage": self.STAGE,
-                "part": k,
-                "rows_before": int(rows_before),
-                "rows_dropped": int(rows_before) - rows_after,
-                "rows_after": rows_after,
-                "n_docs_after": n_docs,
-                "policy": {
-                    "fine_size": self.fine_size,
-                    "coarse_size": self.coarse_size,
-                    "horizon": self.horizon,
-                },
-                "elapsed_sec": round(elapsed, 3),
-                "rows_per_sec": round(rows_before / elapsed, 1)
-                if elapsed else None,
-                "kernel_version": __version__,
-                "input_fingerprint": fp,
-                "committed_at": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            })
+            share = elapsed / len(batch)
+            for k in batch:
+                rows_before = before.get(k, 0)
+                st = stats.get(k, {"rows": 0, "n_docs": 0})
+                rows_after = int(st["rows"])
+                self._commit_manifest(k, {
+                    "stage": self.STAGE,
+                    "part": k,
+                    "rows_before": int(rows_before),
+                    "rows_dropped": int(rows_before) - rows_after,
+                    "rows_after": rows_after,
+                    "n_docs_after": int(st["n_docs"]),
+                    "policy": {
+                        "fine_size": self.fine_size,
+                        "coarse_size": self.coarse_size,
+                        "horizon": self.horizon,
+                    },
+                    # the batch write is shared work: per-group wall time
+                    # is an equal share of the batch elapsed
+                    "elapsed_sec": round(share, 3),
+                    "rows_per_sec": round(rows_before / share, 1)
+                    if share else None,
+                    "kernel_version": __version__,
+                    "input_fingerprint": fp,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                })
+        if inject:
+            raise RuntimeError(f"injected failure after {fail_after} groups")
+        if len(self.completed_groups()) == self.n_groups:
+            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
+        return list(batch)
 
-        return self._run_groups(todo, process, fail_after, parallelism)
+    def _read_back_stats(self, root: str, in_batch) -> dict[int, dict]:
+        """Per-group (rows, n_docs) of the committed partitions under
+        ``root``; {} when the dynamic write produced no partitions at
+        all (fully-empty batch)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = (self.spark.read.parquet(root).where(in_batch)
+                    .groupBy("grp").agg(
+                        F.count("*").alias("rows"),
+                        F.countDistinct("doc_id", "source").alias("n_docs"),
+                    ).collect())
+        except AnalysisException:
+            return {}
+        return {int(r["grp"]): {"rows": int(r["rows"]),
+                                "n_docs": int(r["n_docs"])} for r in rows}
 
     # --------------------------------------------------------- reading
 
@@ -455,91 +471,123 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
 
     def run(self, tiers: list[DataFrame],
             fail_after: int | None = None,
-            parallelism: int = 1) -> list[int]:
+            parallelism: int | None = None) -> list[int]:
+        """One-data-pass batch compaction of every incomplete group (see
+        the single-tier :meth:`RetentionExpiryJob.run` for the batch
+        semantics). ``tier_idx`` stays a DATA column inside the grp
+        partitions: per-tier pruning comes back for free from an Iceberg
+        partition spec at scale, and the empty-partition backfill keeps
+        a fully-expired store readable (pytest-pinned edge)."""
         staged = self.stage_input(tiers)
         fp = json.loads((self.base / "input_fingerprint.json").read_text())
         fine_size = self.sizes[0]
         todo = self._todo_groups()
         if not todo:
             return []
-        # per-(group, tier) input census in ONE aggregate up front
-        before_all: dict[tuple[int, int], int] = {
-            (int(r["grp"]), int(r["tier_idx"])): int(r["n"])
-            for r in staged.groupBy("grp", "tier_idx").agg(
-                F.count("*").alias("n")).collect()
-        }
-
-        def process(k: int) -> None:
+        batch = todo[:fail_after] if fail_after is not None else todo
+        inject = fail_after is not None and fail_after < len(todo)
+        if batch:
             t0 = time.time()
-            grp = staged.filter(F.col("grp") == k).drop("grp")
-            wm = (
-                grp.filter(F.col("tier_idx") == 0)
-                .groupBy("doc_id", "source")
-                .agg(((F.max("bucket") + 1) * fine_size).alias("wm"))
-            )
-            wm_path = str(self.base / "watermarks" / f"grp={k}")
-            wm.write.mode("overwrite").parquet(wm_path)
-            wm_c = self.spark.read.parquet(wm_path)
-            # per-tier keep predicate, dispatched on tier_idx in ONE pass
-            # over the group — a single join + filter + write, not T jobs
-            joined = grp.join(wm_c, ["doc_id", "source"])
-            keep = F.lit(False)
-            for i, h in enumerate(self.horizons):
-                cut = (
-                    F.floor((F.col("wm") - F.lit(h)) / self.sizes[i + 1])
-                    * self.sizes[i + 1]
-                ).cast("long")
-                end = (F.col("bucket") + 1) * self.sizes[i]
-                keep = F.when(F.col("tier_idx") == i, end > cut) \
-                        .otherwise(keep)
-            kept = joined.where(keep).drop("wm")
-            out_path = str(self.base / "compacted" / f"grp={k}")
-            # tier_idx stays a DATA column (no partitionBy): an empty
-            # hive-partitioned write emits no files at all, so a fully
-            # expired group (or store) would become unreadable; the
-            # unpartitioned write always leaves a schema-bearing part
-            # file. At Iceberg scale the per-tier pruning this forgoes
-            # comes back for free from the table's partition spec.
-            kept.write.mode("overwrite").parquet(out_path)
-            committed = self.spark.read.parquet(out_path)
-            before = {
-                t: n for (g, t), n in before_all.items() if g == k
-            }
-            after = {
-                int(r["tier_idx"]): int(r["n"])
-                for r in committed.groupBy("tier_idx").agg(
+            in_batch = F.col("grp").isin([int(k) for k in batch])
+            sub = staged.where(in_batch)
+            before_all: dict[tuple[int, int], int] = {
+                (int(r["grp"]), int(r["tier_idx"])): int(r["n"])
+                for r in sub.groupBy("grp", "tier_idx").agg(
                     F.count("*").alias("n")).collect()
             }
-            n_tiers = len(self.horizons)
-            tier_census = [
-                {
-                    "tier_idx": i,
-                    "rows_before": before.get(i, 0),
-                    "rows_dropped": before.get(i, 0) - after.get(i, 0),
-                    "rows_after": after.get(i, 0),
-                }
-                for i in range(n_tiers)
-            ]
+            wm_root = str(self.base / "watermarks")
+            comp_root = str(self.base / "compacted")
+            after_all: dict[tuple[int, int], int] = {}
+            if before_all:
+                wm = (
+                    sub.filter(F.col("tier_idx") == 0)
+                    .groupBy("grp", "doc_id", "source")
+                    .agg(((F.max("bucket") + 1) * fine_size).alias("wm"))
+                )
+                (wm.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("grp").parquet(wm_root))
+                wm_c = (self.spark.read.parquet(wm_root)
+                        .where(in_batch).drop("grp"))
+                # per-tier keep predicate, dispatched on tier_idx in ONE
+                # pass — a single join + filter + write, not T jobs
+                joined = sub.join(wm_c, ["doc_id", "source"])
+                keep = F.lit(False)
+                for i, h in enumerate(self.horizons):
+                    cut = (
+                        F.floor((F.col("wm") - F.lit(h)) / self.sizes[i + 1])
+                        * self.sizes[i + 1]
+                    ).cast("long")
+                    end = (F.col("bucket") + 1) * self.sizes[i]
+                    keep = F.when(F.col("tier_idx") == i, end > cut) \
+                            .otherwise(keep)
+                kept = joined.where(keep).drop("wm")
+                (kept.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("grp").parquet(comp_root))
+                after_all = self._read_back_tier_counts(comp_root, in_batch)
+            groups_with_data = {g for g, _t in after_all}
+            empty_kept = staged.limit(0).drop("grp")
+            empty_wm = (staged.limit(0).groupBy("doc_id", "source")
+                        .agg(F.lit(0).cast("long").alias("wm")))
+            for k in batch:
+                if k not in groups_with_data:
+                    empty_kept.write.mode("overwrite").parquet(
+                        str(Path(comp_root) / f"grp={k}"))
+                if not any(g == k for g, _t in before_all):
+                    empty_wm.write.mode("overwrite").parquet(
+                        str(Path(wm_root) / f"grp={k}"))
             elapsed = time.time() - t0
-            rows_before = sum(c["rows_before"] for c in tier_census)
-            self._commit_manifest(k, {
-                "stage": self.STAGE,
-                "part": k,
-                "rows_before": rows_before,
-                "rows_dropped": sum(c["rows_dropped"] for c in tier_census),
-                "rows_after": sum(c["rows_after"] for c in tier_census),
-                "tiers": tier_census,
-                "policy": {"sizes": self.sizes, "horizons": self.horizons},
-                "elapsed_sec": round(elapsed, 3),
-                "rows_per_sec": round(rows_before / elapsed, 1)
-                if elapsed else None,
-                "kernel_version": __version__,
-                "input_fingerprint": fp,
-                "committed_at": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            })
+            share = elapsed / len(batch)
+            n_tiers = len(self.horizons)
+            for k in batch:
+                tier_census = [
+                    {
+                        "tier_idx": i,
+                        "rows_before": before_all.get((k, i), 0),
+                        "rows_dropped": before_all.get((k, i), 0)
+                        - after_all.get((k, i), 0),
+                        "rows_after": after_all.get((k, i), 0),
+                    }
+                    for i in range(n_tiers)
+                ]
+                rows_before = sum(c["rows_before"] for c in tier_census)
+                self._commit_manifest(k, {
+                    "stage": self.STAGE,
+                    "part": k,
+                    "rows_before": rows_before,
+                    "rows_dropped": sum(
+                        c["rows_dropped"] for c in tier_census),
+                    "rows_after": sum(c["rows_after"] for c in tier_census),
+                    "tiers": tier_census,
+                    "policy": {"sizes": self.sizes,
+                               "horizons": self.horizons},
+                    "elapsed_sec": round(share, 3),
+                    "rows_per_sec": round(rows_before / share, 1)
+                    if share else None,
+                    "kernel_version": __version__,
+                    "input_fingerprint": fp,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                })
+        if inject:
+            raise RuntimeError(f"injected failure after {fail_after} groups")
+        if len(self.completed_groups()) == self.n_groups:
+            (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
+        return list(batch)
 
-        return self._run_groups(todo, process, fail_after, parallelism)
+    def _read_back_tier_counts(self, root: str,
+                               in_batch) -> dict[tuple[int, int], int]:
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = (self.spark.read.parquet(root).where(in_batch)
+                    .groupBy("grp", "tier_idx")
+                    .agg(F.count("*").alias("n")).collect())
+        except AnalysisException:
+            return {}
+        return {(int(r["grp"]), int(r["tier_idx"])): int(r["n"])
+                for r in rows}
 
     # --------------------------------------------------------- reading
 

@@ -183,9 +183,9 @@ def test_full_lifecycle_compress_then_expire(spark, fine, tmp_path_factory):
 
 
 def test_parallel_group_commit_equivalence(spark, fine, tmp_path_factory):
-    """parallelism > 1 overlaps independent group commits from driver
-    threads; the committed store and census are identical to the
-    sequential run (groups are independent commit units)."""
+    """The ``parallelism`` kwarg is accepted for API compatibility (the
+    batch single-pass run parallelizes by partition, not driver thread);
+    two runs with and without it commit identical stores and censuses."""
     from matrixprofiler_spark.streaming.expiry import RetentionExpiryJob
 
     b_seq = tmp_path_factory.mktemp("cmp_par_a")
