@@ -37,6 +37,7 @@ from matrixprofiler_spark.sources.tokens import ensure_synth_tokens
 
 n_docs = int(sys.argv[1]); out = sys.argv[2]
 spark = (SparkSession.builder.master("local[8]")
+    .config("spark.driver.memory", "24g")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.local.dir", "/dev/shm/spark-local")
     .config("spark.ui.enabled", "false").getOrCreate())
