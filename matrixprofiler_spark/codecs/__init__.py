@@ -8,7 +8,7 @@ implemented with vectorized numpy bit assembly — no per-value Python in the
 encode hot path.
 """
 
-from .dod import dod_decode, dod_encode, dod_encode_many
+from .dod import dod_decode, dod_decode_many, dod_encode, dod_encode_many
 from .gorilla import gorilla_decode, gorilla_encode, gorilla_encode_many
 
-__all__ = ["dod_decode", "dod_encode", "dod_encode_many", "gorilla_decode", "gorilla_encode", "gorilla_encode_many"]
+__all__ = ["dod_decode", "dod_decode_many", "dod_encode", "dod_encode_many", "gorilla_decode", "gorilla_encode", "gorilla_encode_many"]

@@ -202,6 +202,113 @@ def dod_encode_many(arrays) -> list[bytes]:
     return out
 
 
+def _gather_bits(buf: np.ndarray, bitpos: np.ndarray, k: int) -> np.ndarray:
+    """Read ``k`` (1..64) MSB-first bits at each absolute bit position of
+    ``bitpos`` from the uint8 buffer (vectorized 9-byte window gather).
+    The buffer must have >= 16 padding bytes past the last read."""
+    byi = bitpos >> 3
+    sh = (bitpos & 7).astype(np.uint64)
+    b = buf[byi[:, None] + np.arange(9)].astype(np.uint64)
+    hi = (
+        (b[:, 0] << np.uint64(56)) | (b[:, 1] << np.uint64(48))
+        | (b[:, 2] << np.uint64(40)) | (b[:, 3] << np.uint64(32))
+        | (b[:, 4] << np.uint64(24)) | (b[:, 5] << np.uint64(16))
+        | (b[:, 6] << np.uint64(8)) | b[:, 7]
+    )
+    # 72-bit window anchored at byi: bits [sh, sh+64) of it
+    w = (hi << sh) | (b[:, 8] >> (np.uint64(8) - sh))
+    if k == 64:
+        return w
+    return w >> np.uint64(64 - k)
+
+
+def _peek4(buf: np.ndarray, bitpos: np.ndarray) -> np.ndarray:
+    """The next 4 bits at each position (2-byte window; cheap classify)."""
+    byi = bitpos >> 3
+    sh = bitpos & 7
+    w = (buf[byi].astype(np.uint16) << 8) | buf[byi + 1]
+    return (w >> (12 - sh)) & 0xF
+
+
+def dod_decode_many(blobs) -> list[np.ndarray]:
+    """Decode MANY DoD streams in one lockstep-vectorized pass.
+
+    Value-identical to :func:`dod_decode` per blob (test-asserted), but the
+    per-value control-flow branch runs as numpy mask ops ACROSS all series
+    at a given value index instead of a Python bit-reader loop per value —
+    the decode hot path of the compression-policy serving view, where a
+    range read decodes thousands of ~60-value segments per Arrow batch."""
+    n_all = len(blobs)
+    if n_all == 0:
+        return []
+    datas = [bytes(b) for b in blobs]
+    counts = np.array(
+        [np.frombuffer(d[:4], dtype=np.uint32)[0] for d in datas],
+        dtype=np.int64,
+    )
+    out_list: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n_all
+    keep = np.nonzero(counts > 0)[0]
+    if keep.size == 0:
+        return out_list
+    bodies = [datas[i][4:] for i in keep]
+    blens = np.array([len(b) for b in bodies], dtype=np.int64)
+    base = np.concatenate(([0], np.cumsum(blens)[:-1]))
+    buf = np.frombuffer(b"".join(bodies) + b"\0" * 16, dtype=np.uint8)
+
+    n = counts[keep]
+    total = int(n.sum())
+    flat = np.empty(total, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    pos = base * 8
+
+    # first value (raw 64b)
+    cur = _gather_bits(buf, pos, 64).view(np.int64).copy()
+    flat[starts] = cur
+    pos = pos + 64
+    delta = np.zeros(n.size, dtype=np.int64)
+    # first delta (raw 64b) for series with >= 2 values
+    m2 = np.nonzero(n >= 2)[0]
+    if m2.size:
+        delta[m2] = _gather_bits(buf, pos[m2], 64).view(np.int64)
+        pos[m2] += 64
+        with np.errstate(over="ignore"):
+            cur[m2] = cur[m2] + delta[m2]
+        flat[starts[m2] + 1] = cur[m2]
+
+    max_n = int(n.max())
+    for i in range(2, max_n):
+        ai = np.nonzero(n > i)[0]
+        p = pos[ai]
+        c4 = _peek4(buf, p)
+        is0 = (c4 & 8) == 0
+        f7 = (c4 >> 2) == 2
+        f9 = (c4 >> 1) == 6
+        f12 = c4 == 14
+        full = c4 == 15
+        dod = np.zeros(ai.size, dtype=np.int64)
+        for mask, plen, k, bias in ((f7, 2, 7, 63), (f9, 3, 9, 255),
+                                    (f12, 4, 12, 2047)):
+            sel = np.nonzero(mask)[0]
+            if sel.size:
+                dod[sel] = (_gather_bits(buf, p[sel] + plen, k)
+                            .astype(np.int64) - bias)
+        sel = np.nonzero(full)[0]
+        if sel.size:
+            dod[sel] = _gather_bits(buf, p[sel] + 4, 64).view(np.int64)
+        nbits = np.select([is0, f7, f9, f12], [1, 9, 12, 16], default=68)
+        pos[ai] = p + nbits
+        with np.errstate(over="ignore"):
+            d = delta[ai] + dod
+            delta[ai] = d
+            c = cur[ai] + d
+        cur[ai] = c
+        flat[starts[ai] + i] = c
+
+    for j, ki in enumerate(keep):
+        out_list[int(ki)] = flat[starts[j] : starts[j] + n[j]]
+    return out_list
+
+
 def dod_decode(data: bytes) -> np.ndarray:
     n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
     out = np.empty(n, dtype=np.int64)

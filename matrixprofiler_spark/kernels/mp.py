@@ -260,11 +260,27 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
     # identical to the one-diagonal-at-a-time loop. Trailing pad positions
     # beyond a row's off_max are masked out before the merge. The
     # min-merge itself stays strictly diagonal-ordered (tie semantics).
-    # batch budget ~2^18 elements: keeps the (batch x 2*plen) working set L2-ish
-    # (tuned min-of-3 at plen 4k/16k; larger batches thrash cache)
-    diag_batch = max(4, min(256, (1 << 18) // max(plen, 1)))
+    # Memory-pass-reduced shape (r7, guide §1.2 step 2): the term products
+    # are multiplied DIRECTLY into the interleaved cumsum buffer (out=),
+    # the cumsum runs in place, and the correlation scaling reuses one
+    # preallocated output buffer — no t1/t2/cumsum-copy temporaries. The
+    # batch budget is 2^20 elements (cap 256 diagonals): with the temps
+    # gone the working set is the one terms buffer, and the larger batch
+    # amortizes the per-batch passes (min-of-5 interleaved A/B at plen
+    # 4k/16k: 1.11x / 1.30x over the 2^18 + temporaries shape; the
+    # transposed-tile cumsum alternative measured SLOWER — numpy
+    # accumulates along the outer axis column-by-column).
+    diag_batch = max(4, min(256, (1 << 20) // max(plen, 1)))
     windows = np.lib.stride_tricks.sliding_window_view(x, w)
     arange_plen = np.arange(plen, dtype=np.int32)
+    arange_p1 = arange_plen + 1
+    # suffix views via zero-padded sliding windows: row i = arr[d0+i:]
+    # (pads + buffers hoisted out of the batch loop)
+    dgp = np.pad(dg, (0, diag_batch))
+    dfp = np.pad(df, (0, diag_batch))
+    sgp = np.pad(sig, (0, diag_batch))
+    terms_buf = np.empty((diag_batch, 2 * plen), dtype=_F64)
+    c_buf = np.empty((diag_batch, plen), dtype=_F64)
     for d0 in range(exclusion, plen, diag_batch):
         d1 = min(d0 + diag_batch, plen)
         B = d1 - d0
@@ -272,22 +288,20 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
         # cc0 per diagonal: sequential w-term cumsum per row
         P = (windows[d0:d1] - mu[d0:d1, None]) * ww[None, :]
         cc0 = np.cumsum(P, axis=1)[:, -1]
-        # suffix views via zero-padded sliding windows: row i = arr[d0+i:]
-        dgp = np.pad(dg, (0, B))
-        dfp = np.pad(df, (0, B))
-        sgp = np.pad(sig, (0, B))
         dg_s = np.lib.stride_tricks.sliding_window_view(dgp, maxoff)[d0:d1]
         df_s = np.lib.stride_tricks.sliding_window_view(dfp, maxoff)[d0:d1]
         sg_s = np.lib.stride_tricks.sliding_window_view(sgp, maxoff)[d0:d1]
-        t1 = df[None, 0:maxoff] * dg_s
-        t2 = df_s * dg[None, 0:maxoff]
-        terms = np.empty((B, 2 * maxoff), dtype=_F64)
-        terms[:, 0::2] = t1
-        terms[:, 1::2] = t2
-        terms[:, 0] = cc0 + t1[:, 0]
-        cc_path = np.cumsum(terms, axis=1)[:, 1::2]
+        terms = terms_buf[:B, : 2 * maxoff]
+        np.multiply(df[None, 0:maxoff], dg_s, out=terms[:, 0::2])
+        np.multiply(df_s, dg[None, 0:maxoff], out=terms[:, 1::2])
+        np.add(cc0, terms[:, 0], out=terms[:, 0])
+        np.cumsum(terms, axis=1, out=terms)
+        cc_path = terms[:, 1::2]
+        c_all = c_buf[:B, :maxoff]
         with np.errstate(invalid="ignore"):
-            c_all = (cc_path * sig[None, 0:maxoff]) * sg_s
+            # same association as (cc_path * sig) * sg_s — identical bits
+            np.multiply(cc_path, sig[None, 0:maxoff], out=c_all)
+            np.multiply(c_all, sg_s, out=c_all)
 
         for i in range(B):
             diag = d0 + i
@@ -301,12 +315,12 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
             upd2 = c_cmp > mp[seg]
             mp[seg][upd2] = c_cmp[upd2]
             if idxs:
-                mpi[seg][upd2] = (arange_plen[:off_max] + 1)[upd2]
+                mpi[seg][upd2] = arange_p1[:off_max][upd2]
 
             upd1 = c_cmp > mp[0:off_max]
             mp[0:off_max][upd1] = c_cmp[upd1]
             if idxs:
-                mpi[0:off_max][upd1] = (arange_plen[:off_max] + diag + 1)[upd1]
+                mpi[0:off_max][upd1] = arange_p1[:off_max][upd1] + diag
 
     mp[mp > 1.0] = 1.0
     if euclidean:

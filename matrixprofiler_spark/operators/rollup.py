@@ -587,12 +587,23 @@ def realtime_rollup(materialized: DataFrame, tokens_df: DataFrame,
                <= F.coalesce(F.col("wm"), F.lit(0)))
         .select("doc_id", "source", "bucket", *stat_cols)
     )
+    # slice the post-watermark tail JVM-side BEFORE exploding: a filter on
+    # a generator output cannot be pushed below the Generate, so the
+    # explode-then-filter shape would pay row generation for 100% of
+    # tokens; slicing first generates only the tail (at steady state the
+    # ingest lag — a vanishing fraction of the corpus). 0-based position
+    # p of the sliced array maps back to global pos = wm + p.
+    tail = F.slice(
+        F.col("tokens"),
+        (F.col("wm") + 1).cast("int"),
+        F.greatest(F.size("tokens") - F.col("wm").cast("int"), F.lit(0)),
+    )
     fresh = (
         tokens_df.join(wm, ["doc_id", "source"], "left")
         .withColumn("wm", F.coalesce(F.col("wm"), F.lit(0)))
         .select("doc_id", "source", "wm",
-                F.posexplode("tokens").alias("pos", "tok"))
-        .where(F.col("pos") >= F.col("wm"))
+                F.posexplode(tail).alias("p", "tok"))
+        .withColumn("pos", F.col("p") + F.col("wm"))
         .groupBy(
             "doc_id", "source",
             F.floor(F.col("pos") / fine_size).cast("long").alias("bucket"),

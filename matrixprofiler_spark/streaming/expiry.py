@@ -116,6 +116,17 @@ class RetentionExpiryJob:
         os.replace(tmp, self.base / "manifests" / f"{self.STAGE}_{k}.json")
 
 
+    @staticmethod
+    def _fp_hash():
+        return F.expr(
+            "xxhash64(doc_id, source, bucket, cnt, sum_v, sumsq,"
+            " min_v, max_v)"
+        ).cast("decimal(38,0)")
+
+    def _policy_vec(self) -> list:
+        return [self.fine_size, self.coarse_size, self.horizon,
+                self.n_groups]
+
     def input_fingerprint(self, fine: DataFrame) -> dict:
         """Order-independent identity of the fine store: row count + SUM
         of a full-row hash (decimal(38,0), so 2^63-scale addends cannot
@@ -126,20 +137,15 @@ class RetentionExpiryJob:
         The job's shape parameters (n_groups included: a resume with
         fewer groups would silently orphan the higher staged groups)
         ride along, making the base dir bind to one (input, policy,
-        grouping) triple. One map-side-combinable aggregate."""
+        grouping) triple. One map-side-combinable aggregate — only paid
+        on RESUME; a fresh staging observes the identical aggregates on
+        the staging write itself (guide §1: one fewer full input pass)."""
         r = fine.agg(
-            F.count("*").alias("n"),
-            F.sum(
-                F.expr(
-                    "xxhash64(doc_id, source, bucket, cnt, sum_v,"
-                    " sumsq, min_v, max_v)"
-                ).cast("decimal(38,0)")
-            ).alias("h"),
+            F.count("*").alias("n"), F.sum(self._fp_hash()).alias("h")
         ).collect()[0]
         return {
             "n": int(r["n"]), "h": str(r["h"] or 0),
-            "policy": [self.fine_size, self.coarse_size, self.horizon,
-                       self.n_groups],
+            "policy": self._policy_vec(),
         }
 
     def stage_input(self, fine: DataFrame) -> DataFrame:
@@ -148,11 +154,20 @@ class RetentionExpiryJob:
         dir binds to one (input, policy) pair — both a changed input and
         a changed retention policy against committed work fail loudly
         (recompacting with a different horizon over an already-compacted
-        layout would silently under- or over-drop)."""
+        layout would silently under- or over-drop).
+
+        The fingerprint is OBSERVED on the staging write itself (same
+        count + decimal hash-sum aggregates, so a later resume's
+        independently aggregated fingerprint compares equal); data lands
+        first, fingerprint second — crash in the gap leaves
+        _SUCCESS-without-fp, which simply restages (manifests cannot
+        exist before staging completes)."""
+        from pyspark.sql import Observation
+
         staged = self.base / "fine_staged"
         fp_path = self.base / "input_fingerprint.json"
-        fp = self.input_fingerprint(fine)
         if (staged / "_SUCCESS").exists():
+            fp = self.input_fingerprint(fine)
             old = json.loads(fp_path.read_text()) if fp_path.exists() else None
             if old == fp:
                 return self.spark.read.parquet(str(staged))
@@ -162,23 +177,24 @@ class RetentionExpiryJob:
                     f"policy {old}, got {fp}; a base dir binds to one "
                     "input and one retention policy — use a fresh base dir"
                 )
-            # _SUCCESS present but no fingerprint: a run by code that
-            # wrote data-first died in the gap. Manifests cannot exist
-            # yet (they are written only after staging completes), so
-            # restaging is safe — fall through.
-        # fingerprint FIRST (write-then-rename), data second: a crash
-        # mid-staging leaves fp-without-_SUCCESS and the next run simply
-        # restages; the old data-first order left _SUCCESS-without-fp,
-        # which bricked an untouched base dir on resume.
-        tmp = self.base / ".input_fingerprint.json.tmp"
-        tmp.write_text(json.dumps(fp))
-        os.replace(tmp, fp_path)
+            # _SUCCESS present but no fingerprint: a prior run died
+            # between the data write and the fp write. Manifests cannot
+            # exist yet, so restaging is safe — fall through.
+        obs = Observation("stage_fp")
         (
             fine.withColumn("grp", self.group_col())
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.sum(self._fp_hash()).alias("h"))
             .write.mode("overwrite")
             .partitionBy("grp")
             .parquet(str(staged))
         )
+        m = obs.get
+        fp = {"n": int(m["n"]), "h": str(m["h"] or 0),
+              "policy": self._policy_vec()}
+        tmp = self.base / ".input_fingerprint.json.tmp"
+        tmp.write_text(json.dumps(fp))
+        os.replace(tmp, fp_path)
         return self.spark.read.parquet(str(staged))
 
     # ------------------------------------------------------------- run
@@ -201,7 +217,18 @@ class RetentionExpiryJob:
         ``fail_after`` (kill-injection tests) restricts the batch to the
         first N incomplete groups and raises after committing them —
         observable semantics identical to the old sequential loop.
-        ``parallelism`` is accepted for API compatibility and ignored."""
+        ``parallelism`` is accepted for API compatibility and ignored.
+
+        All manifest censuses are OBSERVED on the two data writes
+        themselves (guide §1.4/§2.3): per-group rows_before and the
+        post-compaction doc count ride the watermark write (a doc keeps
+        >= 1 row iff its high-water ``wm`` exceeds its cutoff — the same
+        predicate the kept filter applies to its max bucket), and
+        per-group rows_after rides the compacted write — the former
+        separate before-count job and compacted read-back job are gone
+        (two full passes over the store per run)."""
+        from pyspark.sql import Observation
+
         staged = self.stage_input(fine)
         fp = json.loads((self.base / "input_fingerprint.json").read_text())
         todo = self._todo_groups()
@@ -213,39 +240,58 @@ class RetentionExpiryJob:
             t0 = time.time()
             in_batch = F.col("grp").isin([int(k) for k in batch])
             sub = staged.where(in_batch)
-            before = {
-                int(r["grp"]): int(r["n"])
-                for r in sub.groupBy("grp").agg(
-                    F.count("*").alias("n")).collect()
-            }
             wm_root = str(self.base / "watermarks")
             comp_root = str(self.base / "compacted")
-            stats: dict[int, dict] = {}
-            if before:
-                # a doc lives wholly in one group, so grp can ride along
-                # as a watermark key without changing its doc grain
-                wm = sub.groupBy("grp", "doc_id", "source").agg(
-                    ((F.max("bucket") + 1) * self.fine_size).alias("wm"))
-                # persist the PRE-compaction watermark first (the serving
-                # view over a compacted store must read the stored one)
-                (wm.write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("grp").parquet(wm_root))
+            cut = (
+                F.floor((F.col("wm") - self.horizon) / self.coarse_size)
+                * self.coarse_size
+            ).cast("long")
+            # a doc lives wholly in one group, so grp can ride along
+            # as a watermark key without changing its doc grain
+            wm = sub.groupBy("grp", "doc_id", "source").agg(
+                ((F.max("bucket") + 1) * self.fine_size).alias("wm"),
+                F.count(F.lit(1)).alias("n_rows"))
+            obs_wm = Observation("wm_census")
+            wm_metrics = []
+            for k in batch:
+                g = F.col("grp") == int(k)
+                wm_metrics.append(F.sum(
+                    F.when(g, F.col("n_rows")).otherwise(0)
+                ).alias(f"rows_{k}"))
+                wm_metrics.append(F.sum(
+                    F.when(g & (F.col("wm") > cut), 1).otherwise(0)
+                ).alias(f"docs_{k}"))
+            # persist the PRE-compaction watermark first (the serving
+            # view over a compacted store must read the stored one)
+            (wm.observe(obs_wm, *wm_metrics)
+             .select("grp", "doc_id", "source", "wm")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("grp").parquet(wm_root))
+            wmm = obs_wm.get
+            before = {k: int(wmm[f"rows_{k}"] or 0) for k in batch}
+            n_docs = {k: int(wmm[f"docs_{k}"] or 0) for k in batch}
+            after = {k: 0 for k in batch}
+            if any(before.values()):
                 wm_c = (self.spark.read.parquet(wm_root)
                         .where(in_batch).drop("grp"))
-                cut = (
-                    F.floor((F.col("wm") - self.horizon) / self.coarse_size)
-                    * self.coarse_size
-                ).cast("long")
                 kept = (
                     sub.join(wm_c, ["doc_id", "source"])
                     .where((F.col("bucket") + 1) * self.fine_size > cut)
                     .drop("wm")
                 )
-                (kept.write.mode("overwrite")
+                obs_k = Observation("kept_census")
+                kept_metrics = [
+                    F.sum(F.when(F.col("grp") == int(k), 1).otherwise(0))
+                    .alias(f"rows_{k}")
+                    for k in batch
+                ]
+                (kept.observe(obs_k, *kept_metrics)
+                 .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("grp").parquet(comp_root))
-                stats = self._read_back_stats(comp_root, in_batch)
+                km = obs_k.get
+                after = {k: int(km[f"rows_{k}"] or 0) for k in batch}
             # schema-bearing empty partitions for groups the dynamic
             # write skipped (no rows kept / no rows at all), so an
             # emptied store stays readable
@@ -253,25 +299,24 @@ class RetentionExpiryJob:
             empty_wm = (staged.limit(0).groupBy("doc_id", "source")
                         .agg(F.lit(0).cast("long").alias("wm")))
             for k in batch:
-                if k not in stats:
+                if after[k] == 0:
                     empty_kept.write.mode("overwrite").parquet(
                         str(Path(comp_root) / f"grp={k}"))
-                if before.get(k) is None:
+                if before[k] == 0:
                     empty_wm.write.mode("overwrite").parquet(
                         str(Path(wm_root) / f"grp={k}"))
             elapsed = time.time() - t0
             share = elapsed / len(batch)
             for k in batch:
-                rows_before = before.get(k, 0)
-                st = stats.get(k, {"rows": 0, "n_docs": 0})
-                rows_after = int(st["rows"])
+                rows_before = before[k]
+                rows_after = after[k]
                 self._commit_manifest(k, {
                     "stage": self.STAGE,
                     "part": k,
                     "rows_before": int(rows_before),
                     "rows_dropped": int(rows_before) - rows_after,
                     "rows_after": rows_after,
-                    "n_docs_after": int(st["n_docs"]),
+                    "n_docs_after": n_docs[k],
                     "policy": {
                         "fine_size": self.fine_size,
                         "coarse_size": self.coarse_size,
@@ -292,23 +337,6 @@ class RetentionExpiryJob:
         if len(self.completed_groups()) == self.n_groups:
             (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
         return list(batch)
-
-    def _read_back_stats(self, root: str, in_batch) -> dict[int, dict]:
-        """Per-group (rows, n_docs) of the committed partitions under
-        ``root``; {} when the dynamic write produced no partitions at
-        all (fully-empty batch)."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            rows = (self.spark.read.parquet(root).where(in_batch)
-                    .groupBy("grp").agg(
-                        F.count("*").alias("rows"),
-                        F.countDistinct("doc_id", "source").alias("n_docs"),
-                    ).collect())
-        except AnalysisException:
-            return {}
-        return {int(r["grp"]): {"rows": int(r["rows"]),
-                                "n_docs": int(r["n_docs"])} for r in rows}
 
     # --------------------------------------------------------- reading
 
@@ -477,7 +505,20 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
         semantics). ``tier_idx`` stays a DATA column inside the grp
         partitions: per-tier pruning comes back for free from an Iceberg
         partition spec at scale, and the empty-partition backfill keeps
-        a fully-expired store readable (pytest-pinned edge)."""
+        a fully-expired store readable (pytest-pinned edge).
+
+        Censuses are OBSERVED on the data writes (same scheme as the
+        single-tier run: the former per-(grp, tier) count job and the
+        compacted read-back job — two full passes over the store — are
+        gone): per-group doc counts ride the watermark write, and the
+        per-(grp, tier) before/after row counts ride the compacted
+        write's plan below and above its keep filter. An input whose
+        coarser tiers carry docs absent from the finest tier violates
+        the cascade-derivation contract; as before, such rows are
+        dropped (they never join a watermark), and they are now also
+        absent from the manifests' rows_before census."""
+        from pyspark.sql import Observation
+
         staged = self.stage_input(tiers)
         fp = json.loads((self.base / "input_fingerprint.json").read_text())
         fine_size = self.sizes[0]
@@ -490,28 +531,46 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
             t0 = time.time()
             in_batch = F.col("grp").isin([int(k) for k in batch])
             sub = staged.where(in_batch)
-            before_all: dict[tuple[int, int], int] = {
-                (int(r["grp"]), int(r["tier_idx"])): int(r["n"])
-                for r in sub.groupBy("grp", "tier_idx").agg(
-                    F.count("*").alias("n")).collect()
-            }
             wm_root = str(self.base / "watermarks")
             comp_root = str(self.base / "compacted")
-            after_all: dict[tuple[int, int], int] = {}
-            if before_all:
-                wm = (
-                    sub.filter(F.col("tier_idx") == 0)
-                    .groupBy("grp", "doc_id", "source")
-                    .agg(((F.max("bucket") + 1) * fine_size).alias("wm"))
-                )
-                (wm.write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("grp").parquet(wm_root))
+            n_tiers = len(self.horizons)
+            wm = (
+                sub.filter(F.col("tier_idx") == 0)
+                .groupBy("grp", "doc_id", "source")
+                .agg(((F.max("bucket") + 1) * fine_size).alias("wm"))
+            )
+            obs_wm = Observation("wm_census")
+            wm_metrics = [
+                F.sum(F.when(F.col("grp") == int(k), 1).otherwise(0))
+                .alias(f"docs_{k}")
+                for k in batch
+            ]
+            (wm.observe(obs_wm, *wm_metrics)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("grp").parquet(wm_root))
+            wmm = obs_wm.get
+            wm_docs = {k: int(wmm[f"docs_{k}"] or 0) for k in batch}
+            before_all: dict[tuple[int, int], int] = {
+                (k, i): 0 for k in batch for i in range(n_tiers)}
+            after_all: dict[tuple[int, int], int] = dict(before_all)
+            if any(wm_docs.values()):
                 wm_c = (self.spark.read.parquet(wm_root)
                         .where(in_batch).drop("grp"))
+
+                def _tier_counts():
+                    return [
+                        F.sum(F.when((F.col("grp") == int(k))
+                                     & (F.col("tier_idx") == i), 1)
+                              .otherwise(0)).alias(f"r_{k}_{i}")
+                        for k in batch for i in range(n_tiers)
+                    ]
+
                 # per-tier keep predicate, dispatched on tier_idx in ONE
                 # pass — a single join + filter + write, not T jobs
-                joined = sub.join(wm_c, ["doc_id", "source"])
+                obs_in = Observation("in_census")
+                joined = (sub.observe(obs_in, *_tier_counts())
+                          .join(wm_c, ["doc_id", "source"]))
                 keep = F.lit(False)
                 for i, h in enumerate(self.horizons):
                     cut = (
@@ -522,24 +581,28 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
                     keep = F.when(F.col("tier_idx") == i, end > cut) \
                             .otherwise(keep)
                 kept = joined.where(keep).drop("wm")
-                (kept.write.mode("overwrite")
+                obs_out = Observation("kept_census")
+                (kept.observe(obs_out, *_tier_counts())
+                 .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("grp").parquet(comp_root))
-                after_all = self._read_back_tier_counts(comp_root, in_batch)
-            groups_with_data = {g for g, _t in after_all}
+                inm, outm = obs_in.get, obs_out.get
+                for k in batch:
+                    for i in range(n_tiers):
+                        before_all[(k, i)] = int(inm[f"r_{k}_{i}"] or 0)
+                        after_all[(k, i)] = int(outm[f"r_{k}_{i}"] or 0)
             empty_kept = staged.limit(0).drop("grp")
             empty_wm = (staged.limit(0).groupBy("doc_id", "source")
                         .agg(F.lit(0).cast("long").alias("wm")))
             for k in batch:
-                if k not in groups_with_data:
+                if not any(after_all[(k, i)] for i in range(n_tiers)):
                     empty_kept.write.mode("overwrite").parquet(
                         str(Path(comp_root) / f"grp={k}"))
-                if not any(g == k for g, _t in before_all):
+                if wm_docs[k] == 0:
                     empty_wm.write.mode("overwrite").parquet(
                         str(Path(wm_root) / f"grp={k}"))
             elapsed = time.time() - t0
             share = elapsed / len(batch)
-            n_tiers = len(self.horizons)
             for k in batch:
                 tier_census = [
                     {
@@ -575,19 +638,6 @@ class RetentionExpiryJobMulti(RetentionExpiryJob):
         if len(self.completed_groups()) == self.n_groups:
             (self.base / f"_stage_{self.STAGE}_COMMITTED").touch()
         return list(batch)
-
-    def _read_back_tier_counts(self, root: str,
-                               in_batch) -> dict[tuple[int, int], int]:
-        from pyspark.errors import AnalysisException
-
-        try:
-            rows = (self.spark.read.parquet(root).where(in_batch)
-                    .groupBy("grp", "tier_idx")
-                    .agg(F.count("*").alias("n")).collect())
-        except AnalysisException:
-            return {}
-        return {(int(r["grp"]), int(r["tier_idx"])): int(r["n"])
-                for r in rows}
 
     # --------------------------------------------------------- reading
 
