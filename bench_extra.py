@@ -31,7 +31,11 @@ SEED = 42
 def build_spark():
     import bench
 
-    return bench.build_spark(CPUS)
+    spark = bench.build_spark(CPUS)
+    # the lifecycle/operator stages of bench.py run AFTER it resets the
+    # Arrow batch size to the stock value — match that here
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    return spark
 
 
 def noop(df):

@@ -342,15 +342,16 @@ class CompressionPolicyJob(RetentionExpiryJob):
             obs_h = Observation("head_census")
             obs_s = Observation("seg_census")
             try:
-                (head.observe(obs_h, *_per_grp(F.lit(1), "rows"))
+                (self._write_layout(head)
+                 .observe(obs_h, *_per_grp(F.lit(1), "rows"))
                  .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("grp").parquet(head_root))
-                (segments.observe(
-                    obs_s,
-                    *_per_grp(F.lit(1), "nseg"),
-                    *_per_grp(F.col("n_rows"), "rows"),
-                    *_per_grp(F.col("blob_bytes"), "bytes"))
+                (self._write_layout(segments)
+                 .observe(obs_s,
+                          *_per_grp(F.lit(1), "nseg"),
+                          *_per_grp(F.col("n_rows"), "rows"),
+                          *_per_grp(F.col("blob_bytes"), "bytes"))
                  .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("grp").parquet(seg_root))

@@ -113,3 +113,41 @@ def test_png_truncated_chunk_raises_valueerror():
     payload = PNG_SIG + struct.pack(">I", 1_000_000) + b"IHDR" + b"\x00" * 8
     with pytest.raises(ValueError, match="truncated PNG chunk"):
         parse_png(payload)
+
+
+def test_dod_decode_many_matches_scalar_decoder():
+    """dod_decode_many (the lockstep-vectorized batch decoder on the
+    compressed serving path) must be value-identical to dod_decode per
+    blob — including empty/1/2-value streams, every control-bit bucket,
+    int64 extremes and wraparound deltas."""
+    import numpy as np
+
+    from matrixprofiler_spark.codecs import (
+        dod_decode, dod_decode_many, dod_encode)
+
+    rng = np.random.default_rng(11)
+    arrays = [
+        np.empty(0, dtype=np.int64),
+        np.array([5], dtype=np.int64),
+        np.array([5, -7], dtype=np.int64),
+        np.zeros(60, dtype=np.int64),
+        np.cumsum(np.cumsum(np.array(
+            [0, 1, -63, 64, -64, 65, -255, 256, -256, 257, -2047, 2048,
+             -2048, 2049, 10**12, -(10**12)], dtype=np.int64))),
+        np.array([2**62, -(2**62), 2**62, -(2**62), 0], dtype=np.int64),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, -1, 1],
+                 dtype=np.int64),
+    ]
+    for _ in range(100):
+        k = int(rng.integers(0, 120))
+        scale = 10 ** int(rng.integers(0, 12))
+        arrays.append(
+            rng.integers(-scale, scale + 1, size=k).astype(np.int64).cumsum())
+    blobs = [dod_encode(a) for a in arrays]
+    decoded = dod_decode_many(blobs)
+    assert len(decoded) == len(blobs)
+    for src, blob, out in zip(arrays, blobs, decoded):
+        with np.errstate(over="ignore"):
+            ref = dod_decode(blob)
+        assert np.array_equal(ref, out)
+        assert np.array_equal(src, out)

@@ -280,3 +280,26 @@ def test_binding_and_validation(spark, fine, tmp_path_factory):
     # no stored watermark table by design
     with pytest.raises(NotImplementedError, match="derivable"):
         job.watermarks()
+
+
+def test_store_file_counts_bounded(spark, fine, tmp_path_factory):
+    """The write layout must bound each store to ~files_per_group files
+    per commit group (guide §6 small-files defeat): without the layout
+    repartition every hive write fanned shuffle-partitions x n_groups
+    tiny files and each later scan paid a task + Python roundtrip per
+    couple of files."""
+    import glob
+
+    base = tmp_path_factory.mktemp("compress_layout")
+    job = CompressionPolicyJob(spark, base, FINE, CHUNK, HORIZON,
+                               n_groups=4)
+    job.run(fine)
+    for store in ("fine_staged", "head", "segments"):
+        files = glob.glob(str(base / store / "grp=*" / "*.parquet"))
+        # a (grp, doc-hash) pair can collide into a neighbour partition,
+        # so allow a small factor over the n_groups * files_per_group
+        # target, never the old ~shuffle_partitions x n_groups blowup
+        assert 0 < len(files) <= 3 * job.n_groups * job.files_per_group, (
+            store, len(files))
+    # round-trip identity still holds on the compacted layout
+    assert _rows(job.read_fine()) == _rows(fine)
