@@ -8,6 +8,13 @@ Exactness: on integer token data the kernels' sliding sums are exact int64,
 and with w a power of two the derived mean/std/sig are computed by the same
 IEEE double expression an ANSI-SQL oracle uses, so results are bit-identical
 to DuckDB — the driver's value-hash comparison passes without rounding.
+
+Batch assembly (r7): each kernel gathers its per-doc numpy outputs and
+emits ONE DataFrame per Arrow batch. The former one-DataFrame-per-doc
+shape paid ~1 ms of pandas construction per doc — more than the kernel
+itself on the corpus's ~55-token median docs (guide §1.2 step 2: per-task
+work). Values are bit-identical: the same per-doc arrays are concatenated,
+never recomputed.
 """
 
 from __future__ import annotations
@@ -36,6 +43,21 @@ SLIDING_SCHEMA = T.StructType(
 )
 
 
+def _assemble(ids: list, lens: list[int], cols: dict[str, list[np.ndarray]],
+              schema: T.StructType) -> pd.DataFrame:
+    """One DataFrame for a whole batch: doc_id repeated per doc's row
+    count, every other column a single concatenate of the per-doc
+    arrays."""
+    if not ids:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in schema.fields})
+    n = np.asarray(lens, dtype=np.int64)
+    out = {"doc_id": np.repeat(np.asarray(ids, dtype=object), n)}
+    for name, parts in cols.items():
+        out[name] = np.concatenate(parts)
+    return pd.DataFrame(out)
+
+
 def sliding_stats(tokens_df: DataFrame, w: int) -> DataFrame:
     """Per-window trailing stats, one row per (doc, window-start offset).
 
@@ -44,37 +66,27 @@ def sliding_stats(tokens_df: DataFrame, w: int) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            parts = []
+            ids: list = []
+            lens: list[int] = []
+            cols: dict[str, list[np.ndarray]] = {
+                k: [] for k in ("off", "sum_v", "sumsq", "mean", "std",
+                                "sig", "min_v", "max_v")}
             for doc_id, toks in zip(b["doc_id"], b["tokens"]):
                 x = np.asarray(toks, dtype=np.float64)
                 n = x.size
                 if n < w:
                     continue
-                s = movsum_ogita(x, w)
-                s2 = movsum_ogita(x * x, w)
-                mean = movmean(x, w, "ogita")
-                std = movstd(x, w)
-                mi = muinvn(x, w)["sig"]
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": doc_id,
-                            "off": np.arange(n - w + 1, dtype=np.int32),
-                            "sum_v": s.astype(np.int64),
-                            "sumsq": s2.astype(np.int64),
-                            "mean": mean,
-                            "std": std,
-                            "sig": mi,
-                            "min_v": movmin(x, w).astype(np.int32),
-                            "max_v": movmax(x, w).astype(np.int32),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(parts, ignore_index=True)
-                if parts
-                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in SLIDING_SCHEMA.fields})
-            )
+                ids.append(doc_id)
+                lens.append(n - w + 1)
+                cols["off"].append(np.arange(n - w + 1, dtype=np.int32))
+                cols["sum_v"].append(movsum_ogita(x, w).astype(np.int64))
+                cols["sumsq"].append(movsum_ogita(x * x, w).astype(np.int64))
+                cols["mean"].append(movmean(x, w, "ogita"))
+                cols["std"].append(movstd(x, w))
+                cols["sig"].append(muinvn(x, w)["sig"])
+                cols["min_v"].append(movmin(x, w).astype(np.int32))
+                cols["max_v"].append(movmax(x, w).astype(np.int32))
+            yield _assemble(ids, lens, cols, SLIDING_SCHEMA)
 
     return tokens_df.select("doc_id", "tokens").mapInPandas(kernel, schema=SLIDING_SCHEMA)
 
@@ -94,26 +106,19 @@ def zero_crossings(tokens_df: DataFrame, w: int) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            parts = []
+            ids: list = []
+            lens: list[int] = []
+            cols: dict[str, list[np.ndarray]] = {"off": [], "crossings": []}
             for doc_id, toks in zip(b["doc_id"], b["tokens"]):
                 x = np.asarray(toks, dtype=np.float64)
                 if x.size < w:
                     continue
                 zc = zero_crossing(x, w)
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": doc_id,
-                            "off": np.arange(zc.size, dtype=np.int32),
-                            "crossings": zc.astype(np.int32),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(parts, ignore_index=True)
-                if parts
-                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in ZC_SCHEMA.fields})
-            )
+                ids.append(doc_id)
+                lens.append(zc.size)
+                cols["off"].append(np.arange(zc.size, dtype=np.int32))
+                cols["crossings"].append(zc.astype(np.int32))
+            yield _assemble(ids, lens, cols, ZC_SCHEMA)
 
     return tokens_df.select("doc_id", "tokens").mapInPandas(kernel, schema=ZC_SCHEMA)
 
@@ -138,7 +143,9 @@ def mass_profile_exact(tokens_df: DataFrame, w: int, query_off: int = 0) -> Data
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            parts = []
+            ids: list = []
+            lens: list[int] = []
+            cols: dict[str, list[np.ndarray]] = {"off": [], "dist": []}
             for doc_id, toks in zip(b["doc_id"], b["tokens"]):
                 xi = np.asarray(toks, dtype=np.int64)
                 n = xi.size
@@ -162,14 +169,11 @@ def mass_profile_exact(tokens_df: DataFrame, w: int, query_off: int = 0) -> Data
                     dist = 2 * (w - (qt - w * mu_q * mu) / (sd_q * sd))
                 dist[dist < 0] = 0  # clip, src/mass.cpp:116
                 offs = np.arange(plen, dtype=np.int32)[ok]
-                parts.append(
-                    pd.DataFrame({"doc_id": doc_id, "off": offs, "dist": dist[ok]})
-                )
-            yield (
-                pd.concat(parts, ignore_index=True)
-                if parts
-                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in DIST_SCHEMA.fields})
-            )
+                ids.append(doc_id)
+                lens.append(offs.size)
+                cols["off"].append(offs)
+                cols["dist"].append(dist[ok])
+            yield _assemble(ids, lens, cols, DIST_SCHEMA)
 
     return tokens_df.select("doc_id", "tokens").mapInPandas(kernel, schema=DIST_SCHEMA)
 
@@ -198,7 +202,10 @@ def matrix_profile_exact(tokens_df: DataFrame, w: int, ez: float = 0.5) -> DataF
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            parts = []
+            ids: list = []
+            lens: list[int] = []
+            cols: dict[str, list[np.ndarray]] = {"off": [], "mp": [],
+                                                 "nn_off": []}
             for doc_id, toks in zip(b["doc_id"], b["tokens"]):
                 xi = np.asarray(toks, dtype=np.int64)
                 n = xi.size
@@ -228,20 +235,11 @@ def matrix_profile_exact(tokens_df: DataFrame, w: int, ez: float = 0.5) -> DataF
                     continue
                 nn = np.argmin(dist, axis=1)
                 mp = np.sqrt(dist[idx, nn])
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": doc_id,
-                            "off": idx[finite].astype(np.int32),
-                            "mp": mp[finite],
-                            "nn_off": nn[finite].astype(np.int32),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(parts, ignore_index=True)
-                if parts
-                else pd.DataFrame({f.name: pd.Series(dtype=object) for f in MP_SCHEMA.fields})
-            )
+                ids.append(doc_id)
+                lens.append(int(finite.sum()))
+                cols["off"].append(idx[finite].astype(np.int32))
+                cols["mp"].append(mp[finite])
+                cols["nn_off"].append(nn[finite].astype(np.int32))
+            yield _assemble(ids, lens, cols, MP_SCHEMA)
 
     return tokens_df.select("doc_id", "tokens").mapInPandas(kernel, schema=MP_SCHEMA)

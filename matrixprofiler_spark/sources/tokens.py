@@ -150,11 +150,15 @@ def chars_from_documents(spark: SparkSession, sf_dir: str,
         f"transform(sequence(1, length(substr(text, 1, {max_chars}))),"
         f" i -> ascii(substr(substr(text, 1, {max_chars}), i, 1)))"
     )
+    # two projections so n_tok reuses the materialized array — a single
+    # select would inline tok_expr twice and interpreted projection (no
+    # codegen under higher-order functions) evaluates it per reference
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         tok_expr.alias("tokens"),
-        F.size(tok_expr).alias("n_tok"),
         F.col("source").alias("source"),
+    ).select(
+        "doc_id", "tokens", F.size("tokens").alias("n_tok"), "source",
     )
 
 
@@ -169,9 +173,16 @@ def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_expr = F.transform(
         words, lambda w: (F.length(w) * F.lit(1000) + F.ascii(F.substring(w, 1, 1))).cast("int")
     )
+    # two projections so n_tok reuses the materialized array: a single
+    # select inlines tok_expr into BOTH tokens and size(tokens), and the
+    # projection is interpreted (higher-order functions disable codegen),
+    # so the whole word->token transform ran TWICE per row (plan-checked;
+    # CollapseProject keeps the split because duplicating a non-cheap
+    # expression is guarded against)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         tok_expr.alias("tokens"),
-        F.size(tok_expr).alias("n_tok"),
         F.col("source").alias("source"),
+    ).select(
+        "doc_id", "tokens", F.size("tokens").alias("n_tok"), "source",
     )
