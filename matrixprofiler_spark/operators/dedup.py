@@ -75,6 +75,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     grams = w.select(
         "doc_id", "source", F.explode(_ngrams(F.col("words"), n)).alias("gram")
     )
+    # materialize the gram universe ONCE per invocation (lazy local
+    # checkpoint, computed by the first action): the rarity filter, both
+    # self-join sides and both size lookups otherwise re-run the explode
+    # + n-gram string assembly up to 8x inside one physical plan (plan-
+    # counted; guide §3.3 "materialising an intermediate truncates the
+    # plan"). Below the cap machinery, so the DF-cap aggregates stay
+    # visible in the plan (plan-linted). Same executor-local persistence
+    # class the star-contraction rounds already rely on.
+    grams = grams.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         rare = (
             grams.groupBy("source", "gram")
@@ -146,6 +155,11 @@ def minhash_bands(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     so cap-accounting faces can census oversize buckets against the same
     band universe the pairs join consumes."""
     sig = minhash_signatures(docs, n, num_hashes)
+    # one row per doc and consumed by every band branch of the union plus
+    # the bucket cap and both join sides — without the checkpoint the
+    # whole gram explode + 8-slot min aggregate re-runs per reference
+    # (up to 10x in one plan); lazy, so no job until the caller acts
+    sig = sig.localCheckpoint(eager=False)
     bands = []
     for b in range(num_hashes // band_size):
         cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
