@@ -234,7 +234,26 @@ def stage_tile_kernel(spark, out):
     print(f"tile 4096x4096: {dt:.3f}s {pairs/dt/1e6:.1f}M pairs/s", flush=True)
 
 
+def stage_mp_blobs(spark, out):
+    """Full-corpus MPX blob stage under 32-worker load (the bench's
+    dominant stage, isolated)."""
+    from pyspark.sql import functions as F
+
+    from matrixprofiler_spark.operators.mp_ops import matrix_profile_blobs
+    from matrixprofiler_spark.plans.partitioning import mp_routing_cut
+
+    tokens = tokens_cached(spark)
+    n_tok_max = tokens.agg(F.max("n_tok")).collect()[0][0]
+    cut = mp_routing_cut(n_tok_max)
+    mp_docs = matrix_profile_blobs(
+        tokens.filter(F.col("n_tok") <= cut), w=128,
+        max_tokens=cut, num_partitions=16 * CPUS)
+    timed("mp_blobs", lambda: mp_docs.agg(F.sum("profile_len")).collect(),
+          out, spark)
+
+
 STAGES = {
+    "mp_blobs": stage_mp_blobs,
     "expiry": stage_expiry,
     "compress": stage_compress,
     "realtime": stage_realtime,

@@ -263,14 +263,16 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
     # Memory-pass-reduced shape (r7, guide §1.2 step 2): the term products
     # are multiplied DIRECTLY into the interleaved cumsum buffer (out=),
     # the cumsum runs in place, and the correlation scaling reuses one
-    # preallocated output buffer — no t1/t2/cumsum-copy temporaries. The
-    # batch budget is 2^20 elements (cap 256 diagonals): with the temps
-    # gone the working set is the one terms buffer, and the larger batch
-    # amortizes the per-batch passes (min-of-5 interleaved A/B at plen
-    # 4k/16k: 1.11x / 1.30x over the 2^18 + temporaries shape; the
-    # transposed-tile cumsum alternative measured SLOWER — numpy
-    # accumulates along the outer axis column-by-column).
-    diag_batch = max(4, min(256, (1 << 20) // max(plen, 1)))
+    # preallocated output buffer — no t1/t2/cumsum-copy temporaries
+    # (min-of-5 interleaved A/B at plen 4k/16k: 1.11x / 1.30x over the
+    # temporaries shape; the transposed-tile cumsum alternative measured
+    # SLOWER — numpy accumulates along the outer axis column-by-column).
+    # Batch budget 2^17 elements (cap 256 diagonals): tuned UNDER full
+    # 32-worker load, where the stage is aggregate-memory-bandwidth-bound
+    # and per-worker working sets must stay cache-resident — full-corpus
+    # blob stage 186s/190s at 2^17-2^18 vs 206s at the single-thread-
+    # optimal 2^20 and 201s at 2^16.
+    diag_batch = max(4, min(256, (1 << 17) // max(plen, 1)))
     windows = np.lib.stride_tricks.sliding_window_view(x, w)
     arange_plen = np.arange(plen, dtype=np.int32)
     arange_p1 = arange_plen + 1
