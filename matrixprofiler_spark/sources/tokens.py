@@ -129,7 +129,9 @@ def ensure_synth_tokens(spark: SparkSession, n_docs: int, path: str,
         synth_tokens_df(spark, n_docs, seed, partitions=parts).write.mode(
             "overwrite"
         ).parquet(path)
-    return spark.read.parquet(path)
+    # schema provided (it is fixed by construction): skips the cold-start
+    # footer-sampling schema inference over the ~128-file table
+    return spark.read.schema(TOKENS_SCHEMA).parquet(path)
 
 
 # word -> token id, expressible identically in Spark SQL and DuckDB SQL:
