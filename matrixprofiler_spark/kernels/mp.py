@@ -22,14 +22,20 @@ equivalence test, mirroring the reference's own test-algorithms.R:44-52).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
+from . import native as _native
 from .mass import mass3, mass_pre, set_k
 from .window import muinvn
 
 _F64 = np.float64
 _EPS = np.finfo(np.float64).eps  # DBL_EPSILON
+
+# MPX diagonal-batch working-set budget, in elements (see mpx()): result is
+# bit-identical for any value; loaded-throughput-tuned default.
+_DIAG_BUDGET = int(os.environ.get("MPX_DIAG_BUDGET", str(1 << 17)))
 
 
 def _as_f64(x) -> np.ndarray:
@@ -225,6 +231,41 @@ def stamp(data, window_size: int, query=None, exclusion_zone: float = 0.5) -> di
     }
 
 
+_NATIVE_STATE: dict = {"checked": False, "lib": None}
+
+
+def _native_mpx_lib():
+    """The native MPX library, gated behind a byte-equality sanity check
+    against the numpy path (run once per process, on adversarial inputs
+    with exact correlation ties and zero-variance windows). Any failure —
+    no compiler, mismatch, exception — pins the process to numpy."""
+    st = _NATIVE_STATE
+    if not st["checked"]:
+        st["checked"] = True
+        lib = _native.get_lib()
+        if lib is not None:
+            try:
+                rng = np.random.default_rng(12345)
+                cases = [rng.integers(0, 3, size=257).astype(np.float64),
+                         np.tile(np.arange(7.0), 40)]
+                x2 = np.ones(200, dtype=np.float64)
+                x2[50:60] = 3.0
+                cases.append(x2)
+                for x in cases:
+                    for w in (8, 16):
+                        a = _mpx_core(x, w, 0.5, True, True, lib=None)
+                        b = _mpx_core(x, w, 0.5, True, True, lib=lib)
+                        if (a["matrix_profile"].tobytes()
+                                != b["matrix_profile"].tobytes()
+                                or a["profile_index"].tobytes()
+                                != b["profile_index"].tobytes()):
+                            raise AssertionError("native mpx mismatch")
+                st["lib"] = lib
+            except Exception:
+                st["lib"] = None
+    return st["lib"]
+
+
 def mpx(data, window_size: int, exclusion_zone: float = 0.5,
         idxs: bool = True, euclidean: bool = True) -> dict:
     """MPX self-join in Pearson space (src/mpx.cpp:880-996). Bit-exact.
@@ -235,10 +276,24 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
         cc = cc + df[o]*dg[od] + df[od]*dg[o]
     is replicated bit-for-bit by cumsumming the interleaved term sequence
     [cc0+t1_0, t2_0, t1_1, t2_1, ...] (np.cumsum is strictly sequential).
+
+    Two implementations of the batch inner loop (identical bits, checked
+    at first use by _native_mpx_lib):
+    * native C (kernels/native_mpx.c): one fused product/accumulate/scale
+      pass per diagonal row, four rows interleaved to hide FP add latency,
+      plus the literal sequential merge loop — 5-8x the numpy path
+      single-thread (the serial add chain is latency-bound and numpy's
+      cumsum runs ~3x below that bound; fusing also removes two full
+      memory passes per batch);
+    * numpy fallback: the r7 memory-pass-reduced shape (interleaved-factor
+      single multiply + in-place cumsum + two-multiply scaling).
     """
-    x = _as_f64(data)
-    w = int(window_size)
-    ez = float(exclusion_zone)
+    lib = _native_mpx_lib()
+    return _mpx_core(_as_f64(data), int(window_size), float(exclusion_zone),
+                     bool(idxs), bool(euclidean), lib=lib)
+
+
+def _mpx_core(x, w, ez, idxs, euclidean, lib=None) -> dict:
     exclusion = c_round(w * ez + _EPS) + 1
     n = x.size
     plen = n - w + 1
@@ -254,75 +309,89 @@ def mpx(data, window_size: int, exclusion_zone: float = 0.5,
     dg = np.concatenate(([0.0], (x[w:n] - mu[1:plen]) + (x[0 : n - w] - mu[0 : n - w])))
     ww = x[0:w] - mu[0]
 
-    # Diagonals are processed in BATCHES: the interleaved-term cumsum runs
-    # as one 2-D cumsum over (batch, 2*off) — per-row sequences are
+    # Diagonals are processed in BATCHES — per-row op sequences are
     # untouched by batching, so every cc path (and thus every bit) is
-    # identical to the one-diagonal-at-a-time loop. Trailing pad positions
-    # beyond a row's off_max are masked out before the merge. The
-    # min-merge itself stays strictly diagonal-ordered (tie semantics).
-    # Memory-pass-reduced shape (r7, guide §1.2 step 2): the term products
-    # are multiplied DIRECTLY into the interleaved cumsum buffer (out=),
-    # the cumsum runs in place, and the correlation scaling reuses one
-    # preallocated output buffer — no t1/t2/cumsum-copy temporaries
-    # (min-of-5 interleaved A/B at plen 4k/16k: 1.11x / 1.30x over the
-    # temporaries shape; the transposed-tile cumsum alternative measured
-    # SLOWER — numpy accumulates along the outer axis column-by-column).
-    # Batch budget 2^17 elements (cap 256 diagonals): tuned UNDER full
-    # 32-worker load, where the stage is aggregate-memory-bandwidth-bound
-    # and per-worker working sets must stay cache-resident — full-corpus
-    # blob stage 186s/190s at 2^17-2^18 vs 206s at the single-thread-
-    # optimal 2^20 and 201s at 2^16.
-    diag_batch = max(4, min(256, (1 << 17) // max(plen, 1)))
-    windows = np.lib.stride_tricks.sliding_window_view(x, w)
-    arange_plen = np.arange(plen, dtype=np.int32)
-    arange_p1 = arange_plen + 1
-    # suffix views via zero-padded sliding windows: row i = arr[d0+i:]
-    # (pads + buffers hoisted out of the batch loop)
-    dgp = np.pad(dg, (0, diag_batch))
-    dfp = np.pad(df, (0, diag_batch))
+    # identical to the one-diagonal-at-a-time loop; the merge stays
+    # strictly diagonal-ordered (tie semantics). Batch budget in ELEMENTS
+    # (env-tunable for other core counts / cache sizes), tuned UNDER full
+    # 32-worker load where the stage is aggregate-memory-bandwidth-bound —
+    # see OPTIMIZATION_r07.md §3. The result is identical for ANY batch
+    # size; only throughput changes.
+    diag_batch = max(4, min(256, _DIAG_BUDGET // max(plen, 1)))
+    arange_p1 = np.arange(plen, dtype=np.int32) + 1
+    # Interleaved factor layout shared by both paths: one contiguous
+    # multiply builds the whole term matrix —
+    #   terms[i, 2k] = df[k]*dg[d0+i+k],  terms[i, 2k+1] = dg[k]*df[d0+i+k]
+    #   == A[m] * Z[2*(d0+i) + m]
+    # (identical factor values => identical product bits; replaces two
+    # stride-2 half-writes with one sequential write pass).
+    A = np.empty(2 * plen, dtype=_F64)
+    A[0::2] = df
+    A[1::2] = dg
+    Z = np.empty(2 * (plen + diag_batch), dtype=_F64)
+    Z[0::2] = np.pad(dg, (0, diag_batch))
+    Z[1::2] = np.pad(df, (0, diag_batch))
     sgp = np.pad(sig, (0, diag_batch))
-    terms_buf = np.empty((diag_batch, 2 * plen), dtype=_F64)
     c_buf = np.empty((diag_batch, plen), dtype=_F64)
-    for d0 in range(exclusion, plen, diag_batch):
-        d1 = min(d0 + diag_batch, plen)
-        B = d1 - d0
-        maxoff = plen - d0
-        # cc0 per diagonal: sequential w-term cumsum per row
-        P = (windows[d0:d1] - mu[d0:d1, None]) * ww[None, :]
-        cc0 = np.cumsum(P, axis=1)[:, -1]
-        dg_s = np.lib.stride_tricks.sliding_window_view(dgp, maxoff)[d0:d1]
-        df_s = np.lib.stride_tricks.sliding_window_view(dfp, maxoff)[d0:d1]
-        sg_s = np.lib.stride_tricks.sliding_window_view(sgp, maxoff)[d0:d1]
-        terms = terms_buf[:B, : 2 * maxoff]
-        np.multiply(df[None, 0:maxoff], dg_s, out=terms[:, 0::2])
-        np.multiply(df_s, dg[None, 0:maxoff], out=terms[:, 1::2])
-        np.add(cc0, terms[:, 0], out=terms[:, 0])
-        np.cumsum(terms, axis=1, out=terms)
-        cc_path = terms[:, 1::2]
-        c_all = c_buf[:B, :maxoff]
-        with np.errstate(invalid="ignore"):
-            # same association as (cc_path * sig) * sg_s — identical bits
-            np.multiply(cc_path, sig[None, 0:maxoff], out=c_all)
-            np.multiply(c_all, sg_s, out=c_all)
 
-        for i in range(B):
-            diag = d0 + i
-            off_max = plen - diag
-            c_cmp = c_all[i, :off_max]
-            # off_diag (cand2) writes land strictly before the offset
-            # (cand1) comparison for any shared position (step k-diag <
-            # step k), so two vectorized strict-> passes in that order
-            # reproduce the sequential tie behavior exactly.
-            seg = slice(diag, diag + off_max)
-            upd2 = c_cmp > mp[seg]
-            mp[seg][upd2] = c_cmp[upd2]
-            if idxs:
-                mpi[seg][upd2] = arange_p1[:off_max][upd2]
+    if lib is not None:
+        mu_c = np.ascontiguousarray(mu)
+        sig_c = np.ascontiguousarray(sig)
+        ww_c = np.ascontiguousarray(ww)
+        cc0_buf = np.empty(diag_batch, dtype=_F64)
+        pd, pi_, nul = _native.ptr_d, _native.ptr_i, _native.null_i
+        mpi_p = pi_(mpi) if idxs else nul()
+        for d0 in range(exclusion, plen, diag_batch):
+            d1 = min(d0 + diag_batch, plen)
+            B = d1 - d0
+            maxoff = plen - d0
+            lib.mpx_cc0(pd(x), pd(mu_c), pd(ww_c), pd(cc0_buf), B, w, d0)
+            lib.mpx_fused(pd(A), pd(Z), pd(sig_c), pd(sgp), pd(cc0_buf),
+                          pd(c_buf), B, maxoff, d0, plen)
+            lib.mpx_merge(pd(c_buf), pd(mp), mpi_p, B, plen, d0, plen)
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(x, w)
+        terms_buf = np.empty((diag_batch, 2 * plen), dtype=_F64)
+        for d0 in range(exclusion, plen, diag_batch):
+            d1 = min(d0 + diag_batch, plen)
+            B = d1 - d0
+            maxoff = plen - d0
+            # cc0 per diagonal: sequential w-term cumsum per row
+            P = (windows[d0:d1] - mu[d0:d1, None]) * ww[None, :]
+            cc0 = np.cumsum(P, axis=1)[:, -1]
+            sg_s = np.lib.stride_tricks.sliding_window_view(sgp, maxoff)[d0:d1]
+            terms = terms_buf[:B, : 2 * maxoff]
+            Bmat = np.lib.stride_tricks.sliding_window_view(
+                Z, 2 * maxoff)[2 * d0 :: 2][:B]
+            with np.errstate(invalid="ignore"):
+                np.multiply(A[None, : 2 * maxoff], Bmat, out=terms)
+            np.add(cc0, terms[:, 0], out=terms[:, 0])
+            np.cumsum(terms, axis=1, out=terms)
+            cc_path = terms[:, 1::2]
+            c_all = c_buf[:B, :maxoff]
+            with np.errstate(invalid="ignore"):
+                # same association as (cc_path * sig) * sg_s — identical bits
+                np.multiply(cc_path, sig[None, 0:maxoff], out=c_all)
+                np.multiply(c_all, sg_s, out=c_all)
 
-            upd1 = c_cmp > mp[0:off_max]
-            mp[0:off_max][upd1] = c_cmp[upd1]
-            if idxs:
-                mpi[0:off_max][upd1] = arange_p1[:off_max][upd1] + diag
+            for i in range(B):
+                diag = d0 + i
+                off_max = plen - diag
+                c_cmp = c_all[i, :off_max]
+                # off_diag (cand2) writes land strictly before the offset
+                # (cand1) comparison for any shared position (step k-diag <
+                # step k), so two vectorized strict-> passes in that order
+                # reproduce the sequential tie behavior exactly.
+                seg = slice(diag, diag + off_max)
+                upd2 = c_cmp > mp[seg]
+                mp[seg][upd2] = c_cmp[upd2]
+                if idxs:
+                    mpi[seg][upd2] = arange_p1[:off_max][upd2]
+
+                upd1 = c_cmp > mp[0:off_max]
+                mp[0:off_max][upd1] = c_cmp[upd1]
+                if idxs:
+                    mpi[0:off_max][upd1] = arange_p1[:off_max][upd1] + diag
 
     mp[mp > 1.0] = 1.0
     if euclidean:

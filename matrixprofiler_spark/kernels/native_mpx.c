@@ -1,0 +1,138 @@
+/* Native MPX diagonal-batch kernels (compiled on demand by native.py).
+ *
+ * Each function replicates the EXACT FP op sequence of the numpy reference
+ * path in kernels/mp.py::mpx — same products, same sequential add order,
+ * same (cc * sig) * sg association — so results are bit-identical (the
+ * loader refuses the library unless a runtime byte-equality sanity check
+ * against the numpy path passes; ffp-contract=off forbids FMA fusion).
+ *
+ * Layouts (see mp.py::mpx):
+ *   A[2k]   = df[k],  A[2k+1] = dg[k]          (interleaved cross factors)
+ *   Z[2j]   = dg_padded[j], Z[2j+1] = df_padded[j]
+ * Row i of a batch covers diagonal d0+i; its term stream is
+ *   t1_k = A[2k]   * Z[2*(d0+i) + 2k]
+ *   t2_k = A[2k+1] * Z[2*(d0+i) + 2k+1]
+ * and the correlation path is the running sum cc0 + t1_0 + t2_0 + t1_1 ...
+ * observed after each t2 (the reference's two-add loop, src/mpx.cpp:944).
+ *
+ * Rows are processed in groups of 4 with interleaved accumulators so the
+ * four independent serial add chains hide FP add latency; per-row op order
+ * is untouched (only instruction scheduling ACROSS independent rows
+ * changes, which cannot affect any row's bits).
+ */
+#include <stddef.h>
+
+static void row1(const double *A, const double *z, const double *sig,
+                 const double *sg, double cc0, double *c, long maxoff)
+{
+    double acc = cc0;
+    for (long k = 0; k < maxoff; k++) {
+        acc += A[2 * k] * z[2 * k];
+        acc += A[2 * k + 1] * z[2 * k + 1];
+        c[k] = (acc * sig[k]) * sg[k];
+    }
+}
+
+void mpx_fused(const double *A, const double *Z, const double *sig,
+               const double *sgp, const double *cc0, double *c_all,
+               long B, long maxoff, long d0, long ldc)
+{
+    long i = 0;
+    for (; i + 4 <= B; i += 4) {
+        const double *z0 = Z + 2 * (d0 + i);
+        const double *z1 = z0 + 2;
+        const double *z2 = z0 + 4;
+        const double *z3 = z0 + 6;
+        const double *g0 = sgp + d0 + i;
+        double *c0 = c_all + i * ldc;
+        double *c1 = c0 + ldc;
+        double *c2 = c1 + ldc;
+        double *c3 = c2 + ldc;
+        double a0 = cc0[i], a1 = cc0[i + 1], a2 = cc0[i + 2], a3 = cc0[i + 3];
+        for (long k = 0; k < maxoff; k++) {
+            double f1 = A[2 * k], f2 = A[2 * k + 1];
+            double s = sig[k];
+            a0 += f1 * z0[2 * k];
+            a1 += f1 * z1[2 * k];
+            a2 += f1 * z2[2 * k];
+            a3 += f1 * z3[2 * k];
+            a0 += f2 * z0[2 * k + 1];
+            a1 += f2 * z1[2 * k + 1];
+            a2 += f2 * z2[2 * k + 1];
+            a3 += f2 * z3[2 * k + 1];
+            c0[k] = (a0 * s) * g0[k];
+            c1[k] = (a1 * s) * g0[k + 1];
+            c2[k] = (a2 * s) * g0[k + 2];
+            c3[k] = (a3 * s) * g0[k + 3];
+        }
+    }
+    for (; i < B; i++)
+        row1(A, Z + 2 * (d0 + i), sig, sgp + d0 + i, cc0[i],
+             c_all + i * ldc, maxoff);
+}
+
+/* Sequential per-diagonal max-merge, exact reference order: rows ascending,
+ * offsets ascending, the off_diag (cand2) write before the offset (cand1)
+ * comparison, strict > (NaN never updates). Equivalent to the numpy path's
+ * two vectorized passes per row: cand2 writes for a position always land
+ * strictly before the cand1 comparison at that position (step k-diag < k),
+ * and positions within one pass are distinct. 1-based candidate indexes. */
+void mpx_merge(const double *c_all, double *mp, int *mpi,
+               long B, long plen, long d0, long ldc)
+{
+    for (long i = 0; i < B; i++) {
+        long diag = d0 + i;
+        long off_max = plen - diag;
+        const double *c = c_all + i * ldc;
+        if (mpi) {
+            for (long k = 0; k < off_max; k++) {
+                double v = c[k];
+                if (v > mp[diag + k]) { mp[diag + k] = v; mpi[diag + k] = (int)(k + 1); }
+                if (v > mp[k])        { mp[k] = v;        mpi[k] = (int)(k + 1 + diag); }
+            }
+        } else {
+            for (long k = 0; k < off_max; k++) {
+                double v = c[k];
+                if (v > mp[diag + k]) mp[diag + k] = v;
+                if (v > mp[k])        mp[k] = v;
+            }
+        }
+    }
+}
+
+/* cc0 per diagonal row: replicates
+ *   np.cumsum((x[diag:diag+w] - mu[diag]) * ww, )[-1]
+ * exactly — the accumulator is SEEDED with the k=0 product (cumsum's first
+ * element is the first term, not 0 + term: 0.0 + (-0.0) would flip the
+ * zero's sign), then adds terms in index order. */
+void mpx_cc0(const double *x, const double *mu, const double *ww,
+             double *cc0_out, long B, long w, long d0)
+{
+    long i = 0;
+    for (; i + 4 <= B; i += 4) {
+        const double *x0 = x + d0 + i;
+        double m0 = mu[d0 + i], m1 = mu[d0 + i + 1];
+        double m2 = mu[d0 + i + 2], m3 = mu[d0 + i + 3];
+        double a0 = (x0[0] - m0) * ww[0];
+        double a1 = (x0[1] - m1) * ww[0];
+        double a2 = (x0[2] - m2) * ww[0];
+        double a3 = (x0[3] - m3) * ww[0];
+        for (long k = 1; k < w; k++) {
+            double wk = ww[k];
+            a0 += (x0[k] - m0) * wk;
+            a1 += (x0[k + 1] - m1) * wk;
+            a2 += (x0[k + 2] - m2) * wk;
+            a3 += (x0[k + 3] - m3) * wk;
+        }
+        cc0_out[i] = a0; cc0_out[i + 1] = a1;
+        cc0_out[i + 2] = a2; cc0_out[i + 3] = a3;
+    }
+    for (; i < B; i++) {
+        const double *xr = x + d0 + i;
+        double m = mu[d0 + i];
+        double acc = (xr[0] - m) * ww[0];
+        for (long k = 1; k < w; k++)
+            acc += (xr[k] - m) * ww[k];
+        cc0_out[i] = acc;
+    }
+}
