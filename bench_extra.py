@@ -252,8 +252,50 @@ def stage_mp_blobs(spark, out):
           out, spark)
 
 
+def stage_tiles(spark, out):
+    """Replica of bench.py's matrix_profile_tiles_w128 long-doc stage
+    (12 x 65536-token docs, w=128, chunk 4096), isolated for tile-kernel
+    A/Bs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from matrixprofiler_spark.operators.mp_ops import matrix_profile_distributed
+
+    LONG_N, LONG_TOK = 12, 65536
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("source", T.StringType(), False),
+    ])
+    base = spark.range(0, LONG_N, 1, LONG_N)
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for i in b["id"].tolist():
+                rng = np.random.default_rng(SEED * 100003 + int(i))
+                toks = rng.integers(0, 50257, size=LONG_TOK, dtype=np.int32)
+                rows.append((f"long_{int(i):04d}",
+                             [int(v) for v in toks], LONG_TOK, "longdoc"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "tokens", "n_tok", "source"])
+
+    long_docs = base.mapInPandas(gen, schema=schema).persist()
+    long_docs.count()
+    for rep in range(2):
+        timed(f"tiles_{rep}",
+              lambda: matrix_profile_distributed(
+                  long_docs, w=128, chunk_len=4096,
+                  num_partitions=16 * CPUS).count(),
+              out, spark)
+    long_docs.unpersist()
+
+
 STAGES = {
     "mp_blobs": stage_mp_blobs,
+    "tiles": stage_tiles,
     "expiry": stage_expiry,
     "compress": stage_compress,
     "realtime": stage_realtime,

@@ -42,7 +42,22 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.mpx_merge.restype = None
     lib.mpx_cc0.argtypes = [D, D, D, D, L, L, L]
     lib.mpx_cc0.restype = None
+    LL = ctypes.POINTER(ctypes.c_longlong)
+    U8 = ctypes.POINTER(ctypes.c_ubyte)
+    lib.tile_minima.argtypes = [LL, LL, D, D, D, D, U8, U8,
+                                L, L, L, L, ctypes.c_int,
+                                ctypes.c_longlong, ctypes.c_longlong,
+                                D, LL, D, LL, ctypes.c_int]
+    lib.tile_minima.restype = None
     return lib
+
+
+def ptr_ll(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+
+
+def ptr_u8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
 
 
 def get_lib():

@@ -136,3 +136,75 @@ void mpx_cc0(const double *x, const double *mu, const double *ww,
         cc0_out[i] = acc;
     }
 }
+
+/* Distributed-MP tile kernel: exact row/column partial minima of one
+ * na x nb z-norm distance tile over INTEGER token windows, replacing the
+ * numpy row-blocked dgemm path in operators/mp_ops.py::_tile_partial_minima
+ * with a rolling-QT diagonal traversal.
+ *
+ * Bit-exactness: integer window dot products below 2^53 are exact in
+ * float64 REGARDLESS of summation order, so the rolling update
+ *   qt(r+1,c+1) = qt(r,c) + a[r+w]*b[c+w] - a[r]*b[c]      (int64)
+ * yields the identical double as the dgemm; the per-element expression
+ * tree is copied verbatim from the numpy kernel:
+ *   d = 2 * (w - (qt - wmua[r]*mu_b[c]) / (sd_a[r]*sd_b[c])),  max(d, 0)
+ * (max never sees NaN on unmasked cells — sd > 0 on both sides — and
+ * w - blk of equal finite operands is +0.0, so the ternary matches
+ * np.maximum exactly). Masked cells (sd <= 0 rows/cols, exclusion band)
+ * become +inf exactly as in the numpy path.
+ *
+ * Tie rules (match the block kernel + cross-block merge):
+ *   row minima: columns visited in ascending order (diagonals ascending),
+ *     strict < update -> smallest column among ties;
+ *   column minima: rows visited in DESCENDING order for a fixed column,
+ *     <= update -> smallest row among ties.
+ * Untouched rows keep dmin=+inf / nn=gj0 (numpy's argmin of an all-inf
+ * row is 0 -> gj[0]); untouched columns keep dmin_c=+inf / nn_c=0 —
+ * byte-identical to the numpy outputs.
+ */
+void tile_minima(const long long *a, const long long *b,
+                 const double *wmua, const double *mu_b,
+                 const double *sd_a, const double *sd_b,
+                 const unsigned char *ok_a, const unsigned char *ok_b,
+                 long na, long nb, long w, long exclusion, int near_diag,
+                 long long gi0, long long gj0,
+                 double *dmin, long long *nn,
+                 double *dmin_c, long long *nn_c, int both)
+{
+    const double INF = 1.0 / 0.0;
+    const double dw = (double)w;
+    long long diag_shift = gi0 - gj0; /* gi[r]-gj[c] = diag_shift + (r-c) */
+    for (long r = 0; r < na; r++) { dmin[r] = INF; nn[r] = gj0; }
+    if (both)
+        for (long c = 0; c < nb; c++) { dmin_c[c] = INF; nn_c[c] = 0; }
+    for (long k = -(na - 1); k < nb; k++) {
+        long r = (k < 0) ? -k : 0;
+        long c = r + k;
+        long len_r = na - r, len_c = nb - c;
+        long len = (len_r < len_c) ? len_r : len_c;
+        long long qt = 0;
+        for (long t = 0; t < w; t++)
+            qt += a[r + t] * b[c + t];
+        long excl_band = (near_diag
+                          && (diag_shift + (r - c) <= exclusion)
+                          && (-(diag_shift + (r - c)) <= exclusion));
+        for (long s = 0; s < len; s++, r++, c++) {
+            double d;
+            if (!ok_a[r] || !ok_b[c] || excl_band) {
+                d = INF;
+            } else {
+                d = ((double)qt - wmua[r] * mu_b[c]) / (sd_a[r] * sd_b[c]);
+                d = (dw - d) * 2.0;
+                d = (d > 0.0) ? d : 0.0;
+            }
+            if (d < dmin[r]) { dmin[r] = d; nn[r] = gj0 + c; }
+            /* finite ties -> smaller r replaces (rows visited descending);
+             * +inf never claims an index (numpy's cross-block strict <) */
+            if (both && (d < dmin_c[c] || (d == dmin_c[c] && d != INF))) {
+                dmin_c[c] = d; nn_c[c] = gi0 + r;
+            }
+            if (s + 1 < len)
+                qt += a[r + w] * b[c + w] - a[r] * b[c];
+        }
+    }
+}

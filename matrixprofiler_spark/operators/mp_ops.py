@@ -92,24 +92,72 @@ def matrix_profile_blobs(tokens_df: DataFrame, w: int, algo: str = "mpx",
     )
 
 
-def _tile_partial_minima(ai, bi, gi, gj, w, exclusion, both_sides):
-    """Row-BLOCKED evaluation of one distance tile: dgemm a ~2^18-element
-    row block, fuse the z-norm distance expression in place on the cached
-    block, reduce to row/column partial minima, discard. The full na x nb
-    distance matrix never touches DRAM — under 32 concurrent Python
-    workers the full-matrix version stalls ~4x on memory bandwidth.
+_TILE_NATIVE_STATE: dict = {"checked": False, "lib": None}
 
-    QT comes from a float64 windows matmul: integer dot products below
-    2^53 are exact in float64 regardless of BLAS summation order, and
-    dgemm (~15 GFLOP/s/core) measured FASTER than every O(1)-per-pair
-    diagonal-cumsum formulation we tried at w <= 128 (those pay ~15
-    memory-bound full-matrix passes vs dgemm's cache-blocked single one).
 
-    Bit-exact: identical IEEE expression tree per element
-    (2*(w - (qt - w*mu_a*mu_b)/(sd_a*sd_b)), clamped at 0), and blocks are
-    processed in increasing row order with STRICT-less column updates, so
-    column ties resolve to the smallest row offset — the same tie rule as
-    a whole-matrix argmin.
+def _native_tile_lib():
+    """Native tile kernel, gated behind a byte-equality check against the
+    numpy block path on adversarial tiles (exact ties, zero-variance
+    windows, near-diagonal bands). Any failure pins the process to numpy."""
+    st = _TILE_NATIVE_STATE
+    if not st["checked"]:
+        st["checked"] = True
+        from ..kernels import native as _native
+
+        lib = _native.get_lib()
+        if lib is not None:
+            try:
+                rng = np.random.default_rng(4242)
+                cases = []
+                ai = rng.integers(0, 3, size=90).astype(np.int64)
+                bi = rng.integers(0, 3, size=110).astype(np.int64)
+                cases.append((ai, bi, 0, 200, 8, 4, True))
+                ai2 = np.ones(80, dtype=np.int64)
+                ai2[30:40] = 5
+                cases.append((ai2, ai2.copy(), 0, 64, 8, 4, True))
+                cases.append((ai, bi, 0, 40, 8, 4, False))  # near-diag band
+                for a, b, ao, bo, w, ez, both in cases:
+                    gi = ao + np.arange(a.size - w + 1)
+                    gj = bo + np.arange(b.size - w + 1)
+                    ra = _tile_partial_minima(a, b, gi, gj, w, ez, both,
+                                              _lib=None)
+                    rb = _tile_partial_minima(a, b, gi, gj, w, ez, both,
+                                              _lib=lib)
+                    for va, vb in zip(ra, rb):
+                        if va is None and vb is None:
+                            continue
+                        if np.asarray(va).tobytes() != np.asarray(vb).tobytes():
+                            raise AssertionError("native tile mismatch")
+                st["lib"] = lib
+            except Exception:
+                st["lib"] = None
+    return st["lib"]
+
+
+def _tile_partial_minima(ai, bi, gi, gj, w, exclusion, both_sides,
+                         _lib="auto"):
+    """Exact row/column partial minima of one na x nb distance tile.
+
+    Two implementations (byte-identical outputs, gated at first use by
+    _native_tile_lib):
+
+    * native C (kernels/native_mpx.c::tile_minima): rolling-QT diagonal
+      traversal — integer dot products below 2^53 are exact in float64
+      regardless of summation order, so the O(1)-per-pair integer update
+      produces the identical double as the dgemm; the per-element
+      expression tree and the tie rules (row ties -> smallest column via
+      ascending-column strict <, column ties -> smallest row via
+      descending-row <=) are replicated exactly. ~5x the dgemm path at
+      w=128 (per-pair cost is O(1) instead of O(w) FLOPs) and no block
+      buffer traffic.
+    * numpy fallback: row-BLOCKED dgemm of a ~2^18-element block, fused
+      z-norm distance expression in place, reduce to partial minima,
+      discard — the full na x nb matrix never touches DRAM.
+
+    Bit-exact across both: identical IEEE expression tree per element
+    (2*(w - (qt - w*mu_a*mu_b)/(sd_a*sd_b)), clamped at 0), and identical
+    tie resolution (see above; the numpy path gets it from increasing-row
+    blocks with strict-less column updates).
 
     Returns (dmin, nn, ok_a, dmin_c, nn_c, ok_b); the col side is None
     unless both_sides."""
@@ -125,10 +173,36 @@ def _tile_partial_minima(ai, bi, gi, gj, w, exclusion, both_sides):
         sd_b = np.sqrt((cb2[w:] - cb2[:-w]) / float(w) - mu_b * mu_b)
     ok_a = sd_a > 0
     ok_b = sd_b > 0
+    wmua_full = w * mu_a
+    near_diag_flag = max(gj[0] - gi[-1], gi[0] - gj[-1]) <= exclusion
+
+    lib = _native_tile_lib() if _lib == "auto" else _lib
+    if lib is not None:
+        from ..kernels import native as _native
+
+        ai_c = np.ascontiguousarray(ai, dtype=np.int64)
+        bi_c = np.ascontiguousarray(bi, dtype=np.int64)
+        dmin = np.empty(na, dtype=np.float64)
+        nn = np.zeros(na, dtype=np.int64)
+        dmin_c = np.full(nb, np.inf)
+        nn_c = np.zeros(nb, dtype=np.int64)
+        ok_a8 = ok_a.view(np.uint8)
+        ok_b8 = ok_b.view(np.uint8)
+        lib.tile_minima(
+            _native.ptr_ll(ai_c), _native.ptr_ll(bi_c),
+            _native.ptr_d(wmua_full), _native.ptr_d(mu_b),
+            _native.ptr_d(sd_a), _native.ptr_d(sd_b),
+            _native.ptr_u8(ok_a8), _native.ptr_u8(ok_b8),
+            na, nb, w, int(exclusion), int(bool(near_diag_flag)),
+            int(gi[0]), int(gj[0]),
+            _native.ptr_d(dmin), _native.ptr_ll(nn),
+            _native.ptr_d(dmin_c), _native.ptr_ll(nn_c), int(bool(both_sides)))
+        return dmin, nn, ok_a, (dmin_c if both_sides else None), nn_c, ok_b
+
     wa = np.lib.stride_tricks.sliding_window_view(ai, w).astype(np.float64)
     wb_t = np.lib.stride_tricks.sliding_window_view(bi, w).astype(np.float64).T
-    wmua = w * mu_a
-    near_diag = max(gj[0] - gi[-1], gi[0] - gj[-1]) <= exclusion
+    wmua = wmua_full
+    near_diag = near_diag_flag
     bs = max(64, (1 << 18) // max(nb, 1))
     dmin = np.empty(na)
     nn = np.zeros(na, dtype=np.int64)

@@ -98,3 +98,40 @@ def test_kill_switch(monkeypatch):
     monkeypatch.setattr(native_mod, "_tried", False)
     monkeypatch.setattr(native_mod, "_lib", None)
     assert native_mod.get_lib() is None
+
+
+def test_native_tile_minima_equality():
+    """C rolling-QT tile kernel must be byte-identical to the numpy
+    dgemm-block path on adversarial tiles (exact ties, zero-variance
+    windows, near-diagonal exclusion bands, asymmetric shapes)."""
+    from matrixprofiler_spark.operators.mp_ops import (
+        _native_tile_lib, _tile_partial_minima)
+
+    lib = _native_tile_lib()
+    if lib is None:
+        pytest.skip("native tile kernel unavailable")
+    rng = np.random.default_rng(99)
+    for trial in range(120):
+        w = int(rng.choice([8, 16, 64, 128]))
+        na_len = int(rng.integers(w + 1, 300))
+        nb_len = int(rng.integers(w + 1, 300))
+        alpha = int(rng.choice([2, 3, 50257]))
+        ai = rng.integers(0, alpha, size=na_len).astype(np.int64)
+        bi = rng.integers(0, alpha, size=nb_len).astype(np.int64)
+        if rng.random() < 0.3:
+            ai[10 : min(30, na_len)] = 7
+        if rng.random() < 0.2:
+            bi[:] = 3
+        a_off = int(rng.integers(0, 3000))
+        b_off = (a_off + int(rng.integers(0, 500))
+                 if rng.random() < 0.5 else int(rng.integers(0, 3000)))
+        both = bool(rng.random() < 0.7)
+        ez = int(rng.choice([0, 4, 64]))
+        gi = a_off + np.arange(ai.size - w + 1)
+        gj = b_off + np.arange(bi.size - w + 1)
+        ra = _tile_partial_minima(ai, bi, gi, gj, w, ez, both, _lib=None)
+        rb = _tile_partial_minima(ai, bi, gi, gj, w, ez, both, _lib=lib)
+        for va, vb in zip(ra, rb):
+            if va is None and vb is None:
+                continue
+            assert np.asarray(va).tobytes() == np.asarray(vb).tobytes()
