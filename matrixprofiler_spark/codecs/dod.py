@@ -32,6 +32,18 @@ _BUCKETS = (
 def dod_encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = v.size
+    if n == 0:
+        return np.uint32(n).tobytes()
+    from .gorilla import _native_codec_lib, _native_dod_many
+
+    lib = _native_codec_lib()
+    if lib is not None:
+        return _native_dod_many(lib, [v], np.array([n], dtype=np.int64))[0]
+    return _dod_encode_numpy(v)
+
+
+def _dod_encode_numpy(v: np.ndarray) -> bytes:
+    n = v.size
     header = np.uint32(n).tobytes()
     if n == 0:
         return header
@@ -112,6 +124,16 @@ def dod_encode_many(arrays) -> list[bytes]:
     arrays_ne = [arrays[i] for i in keep]
     sizes = all_sizes[keep]
     n_series = sizes.size
+
+    from .gorilla import _native_codec_lib, _native_dod_many
+
+    lib = _native_codec_lib()
+    if lib is not None:
+        blobs = _native_dod_many(lib, arrays_ne, sizes)
+        out_n: list[bytes] = [np.uint32(0).tobytes()] * n_all
+        for j in range(n_series):
+            out_n[int(keep[j])] = blobs[j]
+        return out_n
 
     v = np.concatenate(arrays_ne)
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))

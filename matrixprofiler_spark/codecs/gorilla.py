@@ -23,6 +23,99 @@ from __future__ import annotations
 
 import numpy as np
 
+_NATIVE_STATE: dict = {"checked": False, "lib": None}
+
+
+def _native_codec_lib():
+    """Native bitstream encoders (kernels/native_mpx.c), gated behind a
+    byte-equality check against the numpy assemblers on adversarial
+    inputs (NaN payloads, +-0.0, infinities, repeats, random bit
+    patterns). Any failure pins the process to the numpy path."""
+    st = _NATIVE_STATE
+    if not st["checked"]:
+        st["checked"] = True
+        from ..kernels import native as _native
+
+        lib = _native.get_lib()
+        if lib is not None:
+            try:
+                rng = np.random.default_rng(777)
+                cases = [
+                    rng.normal(size=100),
+                    np.repeat(rng.normal(size=10), 7),
+                    np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1.5, 1.5]),
+                    rng.integers(0, 2 ** 62, size=64,
+                                 dtype=np.int64).view(np.float64),
+                    np.zeros(5),
+                    np.array([1.0]),
+                ]
+                for x in cases:
+                    x = np.ascontiguousarray(x, dtype=np.float64)
+                    a = _gorilla_encode_numpy(x)
+                    b = _native_gorilla_many(
+                        lib, [x], np.array([x.size], dtype=np.int64))[0]
+                    if a != b:
+                        raise AssertionError("native gorilla mismatch")
+                ints = [rng.integers(-10, 10, size=50, dtype=np.int64).cumsum(),
+                        np.array([7], dtype=np.int64),
+                        np.array([5, 5, 5, 5], dtype=np.int64),
+                        rng.integers(np.iinfo(np.int64).min // 2,
+                                     np.iinfo(np.int64).max // 2,
+                                     size=40, dtype=np.int64)]
+                from . import dod as _dod
+
+                for x in ints:
+                    x = np.ascontiguousarray(x, dtype=np.int64)
+                    a = _dod._dod_encode_numpy(x)
+                    b = _native_dod_many(
+                        lib, [x], np.array([x.size], dtype=np.int64))[0]
+                    if a != b:
+                        raise AssertionError("native dod mismatch")
+                st["lib"] = lib
+            except Exception:
+                st["lib"] = None
+    return st["lib"]
+
+
+def _native_gorilla_many(lib, arrays_ne, sizes) -> list[bytes]:
+    """C-encode non-empty float64 series; returns full blobs (header +
+    body) per series."""
+    from ..kernels import native as _native
+
+    total = int(sizes.sum())
+    v = (np.concatenate(arrays_ne) if len(arrays_ne) > 1
+         else arrays_ne[0]).view(np.uint64)
+    out = np.empty(10 * total + 16 * len(arrays_ne) + 64, dtype=np.uint8)
+    lens = np.empty(len(arrays_ne), dtype=np.int64)
+    sizes_c = np.ascontiguousarray(sizes, dtype=np.int64)
+    lib.gorilla_encode_batch(_native.ptr_u64(v), _native.ptr_ll(sizes_c),
+                             len(arrays_ne), _native.ptr_u8(out),
+                             _native.ptr_ll(lens))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return [np.uint32(sizes_c[j]).tobytes()
+            + out[offs[j] : offs[j + 1]].tobytes()
+            for j in range(len(arrays_ne))]
+
+
+def _native_dod_many(lib, arrays_ne, sizes) -> list[bytes]:
+    """C-encode non-empty int64 series; returns full blobs per series."""
+    from ..kernels import native as _native
+
+    total = int(sizes.sum())
+    v = np.ascontiguousarray(
+        np.concatenate(arrays_ne) if len(arrays_ne) > 1 else arrays_ne[0],
+        dtype=np.int64)
+    out = np.empty(10 * total + 24 * len(arrays_ne) + 64, dtype=np.uint8)
+    lens = np.empty(len(arrays_ne), dtype=np.int64)
+    sizes_c = np.ascontiguousarray(sizes, dtype=np.int64)
+    lib.dod_encode_batch(_native.ptr_ll(v), _native.ptr_ll(sizes_c),
+                         len(arrays_ne), _native.ptr_u8(out),
+                         _native.ptr_ll(lens))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return [np.uint32(sizes_c[j]).tobytes()
+            + out[offs[j] : offs[j + 1]].tobytes()
+            for j in range(len(arrays_ne))]
+
 
 def _clz64(x: np.ndarray) -> np.ndarray:
     """Count leading zeros of uint64 (vectorized).
@@ -130,6 +223,16 @@ def gorilla_encode(values: np.ndarray) -> bytes:
     header = np.uint32(n).tobytes()
     if n == 0:
         return header
+    lib = _native_codec_lib()
+    if lib is not None:
+        return _native_gorilla_many(lib, [v],
+                                    np.array([n], dtype=np.int64))[0]
+    return _gorilla_encode_numpy(v)
+
+
+def _gorilla_encode_numpy(v: np.ndarray) -> bytes:
+    n = v.size
+    header = np.uint32(n).tobytes()
     bits_v = v.view(np.uint64)
     xor = np.empty(n - 1, dtype=np.uint64) if n > 1 else np.empty(0, dtype=np.uint64)
     if n > 1:
@@ -238,6 +341,14 @@ def gorilla_encode_many(arrays) -> list[bytes]:
     arrays_ne = [arrays[i] for i in keep]
     sizes = all_sizes[keep]
     n_series = sizes.size
+
+    lib = _native_codec_lib()
+    if lib is not None:
+        blobs = _native_gorilla_many(lib, arrays_ne, sizes)
+        out_n: list[bytes] = [np.uint32(0).tobytes()] * n_all
+        for j in range(n_series):
+            out_n[int(keep[j])] = blobs[j]
+        return out_n
 
     v = np.concatenate(arrays_ne).view(np.uint64)
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))

@@ -49,7 +49,16 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
                                 ctypes.c_longlong, ctypes.c_longlong,
                                 D, LL, D, LL, ctypes.c_int]
     lib.tile_minima.restype = None
+    U64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.gorilla_encode_batch.argtypes = [U64, LL, L, U8, LL]
+    lib.gorilla_encode_batch.restype = None
+    lib.dod_encode_batch.argtypes = [LL, LL, L, U8, LL]
+    lib.dod_encode_batch.restype = None
     return lib
+
+
+def ptr_u64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
 
 
 def ptr_ll(a):

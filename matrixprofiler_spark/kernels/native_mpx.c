@@ -208,3 +208,143 @@ void tile_minima(const long long *a, const long long *b,
         }
     }
 }
+
+/* ---- Bitstream codecs (Gorilla XOR floats / DoD ints) ----------------
+ * MSB-first bit writer; identical stream layout to codecs/gorilla.py and
+ * codecs/dod.py (byte-for-byte, gated by runtime equality checks there).
+ * Each series body is flushed to a byte boundary with zero padding, like
+ * the numpy assemblers. */
+typedef struct {
+    unsigned long long buf;
+    int nb;
+    unsigned char *p;
+} BW;
+
+/* k <= 56: after every flush fewer than 8 bits remain pending, so
+ * buf << k cannot overflow 64 bits. 64-bit fields are written as two
+ * 32-bit puts. */
+static void bw_put(BW *w, unsigned long long bits, int k)
+{
+    w->buf = (w->buf << k) | bits;
+    w->nb += k;
+    while (w->nb >= 8) {
+        w->nb -= 8;
+        *w->p++ = (unsigned char)(w->buf >> w->nb);
+    }
+}
+
+static void bw_put64(BW *w, unsigned long long bits)
+{
+    bw_put(w, bits >> 32, 32);
+    bw_put(w, bits & 0xffffffffULL, 32);
+}
+
+static void bw_flush(BW *w)
+{
+    if (w->nb) {
+        *w->p++ = (unsigned char)((w->buf << (8 - w->nb)) & 0xff);
+        w->nb = 0;
+        w->buf = 0;
+    }
+}
+
+/* One Gorilla body (no count header): 64b first value raw, then per value
+ * '0' (repeat) or '11' + 5b lz(capped 31) + 6b (siglen-1) + meaningful.
+ * Matches codecs/gorilla.py::gorilla_encode exactly (the encoder always
+ * takes the '11' branch). */
+static long long gorilla_body(const unsigned long long *v, long n,
+                              unsigned char *out)
+{
+    BW w = {0, 0, out};
+    bw_put64(&w, v[0]);
+    unsigned long long prev = v[0];
+    for (long i = 1; i < n; i++) {
+        unsigned long long x = v[i] ^ prev;
+        prev = v[i];
+        if (!x) {
+            bw_put(&w, 0, 1);
+            continue;
+        }
+        int lz = __builtin_clzll(x);
+        if (lz > 31)
+            lz = 31;
+        int tz = __builtin_ctzll(x);
+        int siglen = 64 - lz - tz;
+        bw_put(&w, 3, 2);
+        bw_put(&w, (unsigned long long)lz, 5);
+        bw_put(&w, (unsigned long long)(siglen - 1), 6);
+        unsigned long long m = x >> tz;
+        if (siglen > 32) {
+            bw_put(&w, m >> 32, siglen - 32);
+            bw_put(&w, m & 0xffffffffULL, 32);
+        } else {
+            bw_put(&w, m, siglen);
+        }
+    }
+    bw_flush(&w);
+    return (long long)(w.p - out);
+}
+
+void gorilla_encode_batch(const unsigned long long *v, const long long *sizes,
+                          long n_series, unsigned char *out, long long *lens)
+{
+    const unsigned long long *pv = v;
+    unsigned char *po = out;
+    for (long j = 0; j < n_series; j++) {
+        long long L = gorilla_body(pv, sizes[j], po);
+        lens[j] = L;
+        pv += sizes[j];
+        po += L;
+    }
+}
+
+/* One DoD body (no count header): 64b first value, 64b first delta, then
+ * '0' / '10'+7b / '110'+9b / '1110'+12b / '1111'+64b per delta-of-delta,
+ * biased payloads, int64 wraparound arithmetic done in unsigned (defined
+ * behavior, same wrap as numpy). Matches codecs/dod.py::dod_encode. */
+static long long dod_body(const long long *v, long n, unsigned char *out)
+{
+    BW w = {0, 0, out};
+    bw_put64(&w, (unsigned long long)v[0]);
+    if (n >= 2) {
+        unsigned long long pd =
+            (unsigned long long)v[1] - (unsigned long long)v[0];
+        bw_put64(&w, pd);
+        for (long i = 2; i < n; i++) {
+            unsigned long long d =
+                (unsigned long long)v[i] - (unsigned long long)v[i - 1];
+            long long dod = (long long)(d - pd);
+            pd = d;
+            if (dod == 0) {
+                bw_put(&w, 0, 1);
+            } else if (dod >= -63 && dod <= 64) {
+                bw_put(&w, 2, 2);
+                bw_put(&w, (unsigned long long)(dod + 63), 7);
+            } else if (dod >= -255 && dod <= 256) {
+                bw_put(&w, 6, 3);
+                bw_put(&w, (unsigned long long)(dod + 255), 9);
+            } else if (dod >= -2047 && dod <= 2048) {
+                bw_put(&w, 14, 4);
+                bw_put(&w, (unsigned long long)(dod + 2047), 12);
+            } else {
+                bw_put(&w, 15, 4);
+                bw_put64(&w, (unsigned long long)dod);
+            }
+        }
+    }
+    bw_flush(&w);
+    return (long long)(w.p - out);
+}
+
+void dod_encode_batch(const long long *v, const long long *sizes,
+                      long n_series, unsigned char *out, long long *lens)
+{
+    const long long *pv = v;
+    unsigned char *po = out;
+    for (long j = 0; j < n_series; j++) {
+        long long L = dod_body(pv, sizes[j], po);
+        lens[j] = L;
+        pv += sizes[j];
+        po += L;
+    }
+}

@@ -135,3 +135,56 @@ def test_native_tile_minima_equality():
             if va is None and vb is None:
                 continue
             assert np.asarray(va).tobytes() == np.asarray(vb).tobytes()
+
+
+def test_native_codecs_equality():
+    """C Gorilla/DoD encoders must be byte-identical to the numpy
+    assemblers (NaN payloads, +-0.0, infinities, repeats, int64 extremes,
+    single-value and empty-adjacent series)."""
+    from matrixprofiler_spark.codecs.gorilla import (
+        _gorilla_encode_numpy, _native_codec_lib, _native_gorilla_many,
+        _native_dod_many, gorilla_decode)
+    from matrixprofiler_spark.codecs.dod import _dod_encode_numpy, dod_decode
+
+    lib = _native_codec_lib()
+    if lib is None:
+        pytest.skip("native codecs unavailable")
+    rng = np.random.default_rng(5)
+    for t in range(120):
+        n = int(rng.integers(1, 300))
+        kind = t % 5
+        if kind == 0:
+            x = rng.normal(size=n)
+        elif kind == 1:
+            x = np.repeat(rng.normal(size=max(1, n // 7)), 7)[:n]
+        elif kind == 2:
+            x = rng.integers(0, 2 ** 62, size=n,
+                             dtype=np.int64).view(np.float64)
+        elif kind == 3:
+            x = np.full(n, rng.choice([0.0, -0.0, np.inf, np.nan]))
+        else:
+            x = np.round(rng.normal(size=n), 1)
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        blob = _native_gorilla_many(lib, [x],
+                                    np.array([x.size], dtype=np.int64))[0]
+        assert blob == _gorilla_encode_numpy(x)
+        assert (gorilla_decode(blob).view(np.uint64).tobytes()
+                == x.view(np.uint64).tobytes())
+    for t in range(120):
+        n = int(rng.integers(1, 300))
+        kind = t % 4
+        if kind == 0:
+            x = rng.integers(-10, 10, size=n, dtype=np.int64).cumsum()
+        elif kind == 1:
+            x = np.arange(n, dtype=np.int64) * 60
+        elif kind == 2:
+            x = rng.integers(np.iinfo(np.int64).min // 2,
+                             np.iinfo(np.int64).max // 2,
+                             size=n, dtype=np.int64)
+        else:
+            x = np.full(n, 7, dtype=np.int64)
+        x = np.ascontiguousarray(x, dtype=np.int64)
+        blob = _native_dod_many(lib, [x],
+                                np.array([x.size], dtype=np.int64))[0]
+        assert blob == _dod_encode_numpy(x)
+        assert np.array_equal(dod_decode(blob), x)
