@@ -332,26 +332,24 @@ def _mpx_core(x, w, ez, idxs, euclidean, lib=None) -> dict:
     Z[0::2] = np.pad(dg, (0, diag_batch))
     Z[1::2] = np.pad(df, (0, diag_batch))
     sgp = np.pad(sig, (0, diag_batch))
-    c_buf = np.empty((diag_batch, plen), dtype=_F64)
 
     if lib is not None:
+        # one call covers the whole kernel: the C driver processes
+        # 4-diagonal groups (compute -> cache-warm merge); c_buf serves as
+        # its 4-row scratch (only the first 4 rows are touched)
         mu_c = np.ascontiguousarray(mu)
         sig_c = np.ascontiguousarray(sig)
         ww_c = np.ascontiguousarray(ww)
-        cc0_buf = np.empty(diag_batch, dtype=_F64)
+        scratch = np.empty((4, plen), dtype=_F64)
         pd, pi_, nul = _native.ptr_d, _native.ptr_i, _native.null_i
         mpi_p = pi_(mpi) if idxs else nul()
-        for d0 in range(exclusion, plen, diag_batch):
-            d1 = min(d0 + diag_batch, plen)
-            B = d1 - d0
-            maxoff = plen - d0
-            lib.mpx_cc0(pd(x), pd(mu_c), pd(ww_c), pd(cc0_buf), B, w, d0)
-            lib.mpx_fused(pd(A), pd(Z), pd(sig_c), pd(sgp), pd(cc0_buf),
-                          pd(c_buf), B, maxoff, d0, plen)
-            lib.mpx_merge(pd(c_buf), pd(mp), mpi_p, B, plen, d0, plen)
+        lib.mpx_full(pd(x), pd(mu_c), pd(ww_c), pd(A), pd(Z), pd(sig_c),
+                     pd(sgp), pd(scratch), pd(mp), mpi_p,
+                     plen, w, exclusion)
     else:
         windows = np.lib.stride_tricks.sliding_window_view(x, w)
         terms_buf = np.empty((diag_batch, 2 * plen), dtype=_F64)
+        c_buf = np.empty((diag_batch, plen), dtype=_F64)
         for d0 in range(exclusion, plen, diag_batch):
             d1 = min(d0 + diag_batch, plen)
             B = d1 - d0

@@ -49,6 +49,8 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
                                 ctypes.c_longlong, ctypes.c_longlong,
                                 D, LL, D, LL, ctypes.c_int]
     lib.tile_minima.restype = None
+    lib.mpx_full.argtypes = [D, D, D, D, D, D, D, D, D, I, L, L, L]
+    lib.mpx_full.restype = None
     U64 = ctypes.POINTER(ctypes.c_uint64)
     lib.gorilla_encode_batch.argtypes = [U64, LL, L, U8, LL]
     lib.gorilla_encode_batch.restype = None

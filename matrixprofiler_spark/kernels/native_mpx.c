@@ -348,3 +348,24 @@ void dod_encode_batch(const long long *v, const long long *sizes,
         po += L;
     }
 }
+
+/* Whole-kernel MPX driver: one call covers every diagonal, processing
+ * groups of 4 diagonals (cc0 -> fused compute -> sequential merge) so the
+ * just-computed correlation rows are merged cache-warm and the Python
+ * batch loop disappears. Grouping never changes per-row op sequences and
+ * the merge stays strictly diagonal-ordered, so results are bit-identical
+ * to any batch size (see mp.py::mpx). scratch must hold 4*plen doubles. */
+void mpx_full(const double *x, const double *mu, const double *ww,
+              const double *A, const double *Z, const double *sig,
+              const double *sgp, double *scratch, double *mp, int *mpi,
+              long plen, long w, long exclusion)
+{
+    double cc0_loc[4];
+    for (long d0 = exclusion; d0 < plen; d0 += 4) {
+        long B = (plen - d0 < 4) ? (plen - d0) : 4;
+        long maxoff = plen - d0;
+        mpx_cc0(x, mu, ww, cc0_loc, B, w, d0);
+        mpx_fused(A, Z, sig, sgp, cc0_loc, scratch, B, maxoff, d0, plen);
+        mpx_merge(scratch, mp, mpi, B, plen, d0, plen);
+    }
+}
