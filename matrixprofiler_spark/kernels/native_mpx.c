@@ -162,6 +162,13 @@ void mpx_cc0(const double *x, const double *mu, const double *ww,
  * row is 0 -> gj[0]); untouched columns keep dmin_c=+inf / nn_c=0 —
  * byte-identical to the numpy outputs.
  */
+/* -O3/-march=native code selection for this loop (blended min-updates)
+ * measured SLOWER than the plain -O2 baseline form (244-256M vs 290M
+ * pairs/s in an interleaved single-thread A/B); pin the function to O2 at
+ * the baseline ISA. Bit-exactness is unaffected either way. */
+#pragma GCC push_options
+#pragma GCC optimize("O2")
+#pragma GCC target("arch=x86-64")
 void tile_minima(const long long *a, const long long *b,
                  const double *wmua, const double *mu_b,
                  const double *sd_a, const double *sd_b,
@@ -208,6 +215,8 @@ void tile_minima(const long long *a, const long long *b,
         }
     }
 }
+
+#pragma GCC pop_options
 
 /* ---- Bitstream codecs (Gorilla XOR floats / DoD ints) ----------------
  * MSB-first bit writer; identical stream layout to codecs/gorilla.py and
