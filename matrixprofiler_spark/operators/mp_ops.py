@@ -92,6 +92,11 @@ def matrix_profile_blobs(tokens_df: DataFrame, w: int, algo: str = "mpx",
     )
 
 
+# Target tiles per task for the distributed-MP fan-out: large enough to
+# amortize per-task scheduling/Arrow setup over the ~50ms tile kernels,
+# small enough that a task stays well under a second of kernel work.
+TILES_PER_TASK = 12
+
 _TILE_NATIVE_STATE: dict = {"checked": False, "lib": None}
 
 
@@ -280,9 +285,31 @@ def matrix_profile_distributed(tokens_df: DataFrame, w: int, ez: float = 0.5,
     )
     tiles = a.join(b, "doc_id").filter(F.col("b_off") >= F.col("a_off"))
     if num_partitions:
+        # Scale the tile fan-out to the actual tile count instead of
+        # using the caller's hint verbatim: ~3 tiles/task pays more
+        # per-task scheduling + Arrow setup than kernel (measured at the
+        # bench's 1632 tiles: 512 tasks 10.5-14.9s vs 128 tasks
+        # 8.1-8.2s, same band). The census reads only n_tok (column-
+        # pruned) and replicates chunk_tokens' per-doc chunk count, so
+        # it costs one metadata-grade aggregate; the caller's
+        # num_partitions stays the upper bound (the skew/scale defense
+        # at cluster size), defaultParallelism*2 the lower bound.
+        nw = F.col("n_tok").cast("double") - float(w - 1)
+        c = F.greatest(F.ceil(nw / float(chunk_len)), F.lit(1)).cast("double")
+        n_tiles = (
+            tokens_df.filter(F.col("n_tok") >= 2 * w)
+            .agg(F.sum(c * (c + 1.0) / 2.0))
+            .collect()[0][0]
+        ) or 0.0
+        floor_parts = 2 * tokens_df.sparkSession.sparkContext.defaultParallelism
+        np_eff = int(min(num_partitions,
+                         max(int(np.ceil(n_tiles / TILES_PER_TASK)),
+                             min(num_partitions, floor_parts), 1)))
+        # direct hash on the natural high-cardinality tile key (see
+        # rollup.salted(): a pmod-n synthetic salt leaves ~1/e of the
+        # partitions empty and piles 2-3 tiles into others)
         tiles = tiles.repartition(
-            num_partitions,
-            F.pmod(F.xxhash64("doc_id", "a_off", "b_off"), F.lit(num_partitions)),
+            np_eff, F.col("doc_id"), F.col("a_off"), F.col("b_off")
         )
 
     part_schema = T.StructType(
