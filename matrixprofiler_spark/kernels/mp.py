@@ -328,19 +328,24 @@ def _mpx_core(x, w, ez, idxs, euclidean, lib=None) -> dict:
     A = np.empty(2 * plen, dtype=_F64)
     A[0::2] = df
     A[1::2] = dg
-    Z = np.empty(2 * (plen + diag_batch), dtype=_F64)
-    Z[0::2] = np.pad(dg, (0, diag_batch))
-    Z[1::2] = np.pad(df, (0, diag_batch))
-    sgp = np.pad(sig, (0, diag_batch))
+    # pad covers the widest group either path reads past plen: the numpy
+    # batch (diag_batch) or the C driver's 8-diagonal groups
+    zpad = max(diag_batch, 8)
+    Z = np.empty(2 * (plen + zpad), dtype=_F64)
+    Z[0::2] = np.pad(dg, (0, zpad))
+    Z[1::2] = np.pad(df, (0, zpad))
+    sgp = np.pad(sig, (0, zpad))
 
     if lib is not None:
         # one call covers the whole kernel: the C driver processes
-        # 4-diagonal groups (compute -> cache-warm merge); c_buf serves as
-        # its 4-row scratch (only the first 4 rows are touched)
+        # 8-diagonal groups (compute -> cache-warm merge; one pass over
+        # the factor streams serves 8 diagonals, halving stream bytes per
+        # pair vs the 4-wide form — the full-width aggregate is stream-
+        # bandwidth-bound)
         mu_c = np.ascontiguousarray(mu)
         sig_c = np.ascontiguousarray(sig)
         ww_c = np.ascontiguousarray(ww)
-        scratch = np.empty((4, plen), dtype=_F64)
+        scratch = np.empty((8, plen), dtype=_F64)
         pd, pi_, nul = _native.ptr_d, _native.ptr_i, _native.null_i
         mpi_p = pi_(mpi) if idxs else nul()
         lib.mpx_full(pd(x), pd(mu_c), pd(ww_c), pd(A), pd(Z), pd(sig_c),

@@ -38,6 +38,65 @@ void mpx_fused(const double *A, const double *Z, const double *sig,
                long B, long maxoff, long d0, long ldc)
 {
     long i = 0;
+    /* 8-wide main loop: one pass over the A/sig/sgp streams serves 8
+     * diagonals instead of 4, halving the stream bytes per pair. That
+     * does nothing single-thread (the four-chain form already hides the
+     * FP add latency) but lifts the 32-worker aggregate, which is
+     * stream-bandwidth-bound at full width (measured: per-core rate
+     * drops 748 -> 573M pairs/s from 1 to 32 processes at 4-wide).
+     * Per-diagonal op order is untouched — each accumulator chain is
+     * independent — so results are bit-identical (gated + pytested). */
+    for (; i + 8 <= B; i += 8) {
+        const double *z0 = Z + 2 * (d0 + i);
+        const double *z1 = z0 + 2;
+        const double *z2 = z0 + 4;
+        const double *z3 = z0 + 6;
+        const double *z4 = z0 + 8;
+        const double *z5 = z0 + 10;
+        const double *z6 = z0 + 12;
+        const double *z7 = z0 + 14;
+        const double *g0 = sgp + d0 + i;
+        double *c0 = c_all + i * ldc;
+        double *c1 = c0 + ldc;
+        double *c2 = c1 + ldc;
+        double *c3 = c2 + ldc;
+        double *c4 = c3 + ldc;
+        double *c5 = c4 + ldc;
+        double *c6 = c5 + ldc;
+        double *c7 = c6 + ldc;
+        double a0 = cc0[i],     a1 = cc0[i + 1];
+        double a2 = cc0[i + 2], a3 = cc0[i + 3];
+        double a4 = cc0[i + 4], a5 = cc0[i + 5];
+        double a6 = cc0[i + 6], a7 = cc0[i + 7];
+        for (long k = 0; k < maxoff; k++) {
+            double f1 = A[2 * k], f2 = A[2 * k + 1];
+            double s = sig[k];
+            a0 += f1 * z0[2 * k];
+            a1 += f1 * z1[2 * k];
+            a2 += f1 * z2[2 * k];
+            a3 += f1 * z3[2 * k];
+            a4 += f1 * z4[2 * k];
+            a5 += f1 * z5[2 * k];
+            a6 += f1 * z6[2 * k];
+            a7 += f1 * z7[2 * k];
+            a0 += f2 * z0[2 * k + 1];
+            a1 += f2 * z1[2 * k + 1];
+            a2 += f2 * z2[2 * k + 1];
+            a3 += f2 * z3[2 * k + 1];
+            a4 += f2 * z4[2 * k + 1];
+            a5 += f2 * z5[2 * k + 1];
+            a6 += f2 * z6[2 * k + 1];
+            a7 += f2 * z7[2 * k + 1];
+            c0[k] = (a0 * s) * g0[k];
+            c1[k] = (a1 * s) * g0[k + 1];
+            c2[k] = (a2 * s) * g0[k + 2];
+            c3[k] = (a3 * s) * g0[k + 3];
+            c4[k] = (a4 * s) * g0[k + 4];
+            c5[k] = (a5 * s) * g0[k + 5];
+            c6[k] = (a6 * s) * g0[k + 6];
+            c7[k] = (a7 * s) * g0[k + 7];
+        }
+    }
     for (; i + 4 <= B; i += 4) {
         const double *z0 = Z + 2 * (d0 + i);
         const double *z1 = z0 + 2;
@@ -359,19 +418,20 @@ void dod_encode_batch(const long long *v, const long long *sizes,
 }
 
 /* Whole-kernel MPX driver: one call covers every diagonal, processing
- * groups of 4 diagonals (cc0 -> fused compute -> sequential merge) so the
+ * groups of 8 diagonals (cc0 -> fused compute -> sequential merge) so the
  * just-computed correlation rows are merged cache-warm and the Python
  * batch loop disappears. Grouping never changes per-row op sequences and
- * the merge stays strictly diagonal-ordered, so results are bit-identical
- * to any batch size (see mp.py::mpx). scratch must hold 4*plen doubles. */
+ * the merge stays strictly diagonal-ordered (ascending d within and
+ * across groups), so results are bit-identical to any batch size (see
+ * mp.py::mpx). scratch must hold 8*plen doubles. */
 void mpx_full(const double *x, const double *mu, const double *ww,
               const double *A, const double *Z, const double *sig,
               const double *sgp, double *scratch, double *mp, int *mpi,
               long plen, long w, long exclusion)
 {
-    double cc0_loc[4];
-    for (long d0 = exclusion; d0 < plen; d0 += 4) {
-        long B = (plen - d0 < 4) ? (plen - d0) : 4;
+    double cc0_loc[8];
+    for (long d0 = exclusion; d0 < plen; d0 += 8) {
+        long B = (plen - d0 < 8) ? (plen - d0) : 8;
         long maxoff = plen - d0;
         mpx_cc0(x, mu, ww, cc0_loc, B, w, d0);
         mpx_fused(A, Z, sig, sgp, cc0_loc, scratch, B, maxoff, d0, plen);
